@@ -1,0 +1,84 @@
+"""Whole-image and overlap-tile inference.
+
+The reference's forward_tile (engines/base.py:90-116) runs the net per tile in a
+Python loop.  TPU-native version: all tiles share one static shape, so there is
+exactly ONE compiled program; tiles are stacked and run in fixed-size groups to
+keep the MXU fed, then overlap-averaged (E/W accumulation) on host.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Restorer:
+    """Callable wrapper around a jitted model apply with tiling support.
+
+    apply_fn(params, lq) -> restored, both NHWC.  `tile=0` runs whole images
+    (compiled per padded shape, cached by XLA's jit cache).
+    """
+
+    def __init__(
+        self,
+        apply_fn: Callable,
+        params,
+        scale: int = 1,
+        tile: int = 0,
+        tile_overlap: int = 0,
+        tile_batch: int = 1,
+    ):
+        self.apply_fn = jax.jit(apply_fn)
+        self.params = params
+        self.scale = scale
+        self.tile = tile
+        self.tile_overlap = tile_overlap
+        self.tile_batch = tile_batch
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        """img: (B, H, W, C) float32 in [0,1] -> (B, H*scale, W*scale, C_out)."""
+        if self.tile == 0:
+            return np.asarray(self.apply_fn(self.params, jnp.asarray(img)))
+        return self.forward_tile(img)
+
+    def forward_tile(self, img: np.ndarray) -> np.ndarray:
+        b, h, w, _ = img.shape
+        sf = self.scale
+        tile = min(self.tile, h, w)
+        stride = tile - self.tile_overlap
+        h_idx = list(range(0, h - tile, stride)) + [h - tile]
+        w_idx = list(range(0, w - tile, stride)) + [w - tile]
+        positions = [(hi, wi) for hi in h_idx for wi in w_idx]
+
+        # gather all tiles -> (P*b, tile, tile, C): one static shape, one program
+        patches = np.stack(
+            [img[i, hi: hi + tile, wi: wi + tile] for hi, wi in positions
+             for i in range(b)]
+        )
+        n = patches.shape[0]
+        group = max(self.tile_batch, 1)
+        outs = []
+        for s in range(0, n, group):
+            chunk = patches[s: s + group]
+            pad = group - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros_like(chunk[:pad])], 0)
+            y = np.asarray(self.apply_fn(self.params, jnp.asarray(chunk)))
+            outs.append(y[: group - pad] if pad else y)
+        out_patches = np.concatenate(outs, 0)
+
+        out_c = out_patches.shape[-1]
+        E = np.zeros((b, h * sf, w * sf, out_c), np.float32)
+        W = np.zeros_like(E)
+        k = 0
+        for hi, wi in positions:
+            for i in range(b):
+                E[i, hi * sf: (hi + tile) * sf, wi * sf: (wi + tile) * sf] += \
+                    out_patches[k]
+                W[i, hi * sf: (hi + tile) * sf, wi * sf: (wi + tile) * sf] += 1.0
+                k += 1
+        return E / W

@@ -1,0 +1,111 @@
+"""PSNR-engine training: pure pjit-able train/eval steps.
+
+Replaces the reference's LightningModule training loop (engines/base.py:221-254)
+with a functional train step: forward, weighted loss, grad, optax update — one
+compiled program.  Data parallelism comes from sharding the batch over the mesh's
+``data`` axis while params stay replicated (grad all-reduce inserted by XLA).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from grlir.losses import LOSS_FNS, weighted_loss
+from grlir.parallel.mesh import DATA_AXIS, batch_sharding, replicated
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def create_state(params, optimizer: optax.GradientTransformation) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=optimizer.init(params["params"]),
+    )
+
+
+def build_loss(loss_cfg: Mapping[str, float]):
+    """{loss_name: weight} -> combinator (engines/base.py:184-204)."""
+    return {name: (w, LOSS_FNS[name]) for name, w in loss_cfg.items()}
+
+
+def make_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    loss_cfg: Mapping[str, float],
+    mesh: Optional[Mesh] = None,
+    preprocess: Optional[Callable] = None,
+    donate: bool = True,
+):
+    """Build the jitted train step.
+
+    preprocess(batch, rng) -> (lq, gt): on-device task physics (demosaic init,
+    kernel blur + noise, progressive crop), mirroring the reference's in-forward
+    degradations (engines/base.py:118-165).
+    """
+    losses = build_loss(loss_cfg)
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
+        prng, drng = jax.random.split(rng)
+        if preprocess is not None:
+            lq, gt = preprocess(batch, prng)
+        else:
+            lq, gt = batch["img_lq"], batch["img_gt"]
+
+        def loss_fn(params):
+            pred = model.apply(
+                {"params": params}, lq, deterministic=False,
+                rngs={"droppath": drng},
+            )
+            total, parts = weighted_loss(losses, pred, gt)
+            return total, parts
+
+        (total, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params["params"]
+        )
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params["params"]
+        )
+        params = optax.apply_updates(state.params["params"], updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params={"params": params},
+            opt_state=opt_state,
+        )
+        metrics = {"loss": total, **{f"loss_{k}": v for k, v in parts.items()}}
+        return new_state, metrics
+
+    if mesh is not None:
+        state_sh = replicated(mesh)
+        data_sh = batch_sharding(mesh)
+        return jax.jit(
+            step_fn,
+            in_shardings=(state_sh, data_sh, state_sh),
+            out_shardings=(state_sh, state_sh),
+            donate_argnums=(0,) if donate else (),
+        )
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, mesh: Optional[Mesh] = None):
+    def eval_fn(params, lq):
+        return model.apply(params, lq, deterministic=True)
+
+    if mesh is not None:
+        return jax.jit(
+            eval_fn,
+            in_shardings=(replicated(mesh), batch_sharding(mesh)),
+            out_shardings=batch_sharding(mesh),
+        )
+    return jax.jit(eval_fn)

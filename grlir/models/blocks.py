@@ -1,0 +1,545 @@
+"""GRL building blocks (flax.linen, NHWC).
+
+Functionally equivalent to the reference's efficient mixed-attention block family
+(/root/reference/models/common/mixed_attn_block_efficient.py and the reusable pieces
+in mixed_attn_block.py), re-designed for XLA: features stay NHWC, windows are an
+explicit tensor axis (batched einsum attention instead of fold-into-batch), and all
+geometry (tables/indices/masks) arrives as precomputed constants.
+
+Layers are created through thin `conv2d`/`dense`/`layer_norm` helpers that attach
+primitives directly to the calling module, so the flax param tree mirrors the
+reference's state_dict names (see grlir.utils.convert).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from grlir.ops.geometry import get_stripe_info
+from grlir.ops.layout import window_partition, window_reverse
+
+Size2 = Tuple[int, int]
+
+
+# torch nn.Linear/nn.Conv2d default init: kaiming_uniform(a=sqrt(5)) on the weight
+# → U(-1/sqrt(fan_in), 1/sqrt(fan_in)); bias likewise.
+def _fan_in_uniform():
+    def init(key, shape, dtype=jnp.float32):
+        fan_in = int(np.prod(shape[:-1]))
+        bound = 1.0 / math.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+conv_kernel_init = _fan_in_uniform()
+# GRL._init_weights (grl.py:455-469): Linear weights trunc_normal(std=0.02), zero bias.
+dense_kernel_init = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
+
+
+def _conv_bias_init(fan_in: int):
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / math.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def conv2d(x, features: int, kernel_size: Size2 = (3, 3), strides: Size2 = (1, 1),
+           use_bias: bool = True, groups: int = 1, *, name: str):
+    """Conv with torch-default init attached directly to the calling module."""
+    in_ch = x.shape[-1]
+    fan_in = (in_ch // groups) * int(np.prod(kernel_size))
+    return nn.Conv(
+        features,
+        kernel_size,
+        strides=strides,
+        padding=[(k // 2, k // 2) for k in kernel_size],
+        use_bias=use_bias,
+        feature_group_count=groups,
+        kernel_init=conv_kernel_init,
+        bias_init=_conv_bias_init(fan_in),
+        name=name,
+    )(x)
+
+
+def dense(x, features: int, use_bias: bool = True, *, name: str):
+    """Linear with the reference's trunc-normal(0.02)/zero-bias init."""
+    return nn.Dense(
+        features,
+        use_bias=use_bias,
+        kernel_init=dense_kernel_init,
+        bias_init=nn.initializers.zeros,
+        name=name,
+    )(x)
+
+
+def layer_norm(x, *, name: str):
+    return nn.LayerNorm(epsilon=1e-5, name=name)(x)
+
+
+def gelu(x):
+    # torch nn.GELU default is the exact erf formulation.
+    return jax.nn.gelu(x, approximate=False)
+
+
+def drop_path(x, rate: float, deterministic: bool, rng=None):
+    """Stochastic depth on the batch axis (timm DropPath semantics)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+class Mlp(nn.Module):
+    """Per-pixel 2-layer MLP (swin_v1_block.py:15-43)."""
+
+    hidden_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = dense(x, self.hidden_features, name="fc1")
+        x = gelu(x)
+        return dense(x, self.out_features, name="fc2")
+
+
+class CPBMlp(nn.Module):
+    """Continuous position bias MLP: 2 -> 512 -> heads (mixed_attn_block.py:24-31)."""
+
+    out_features: int
+    hidden: int = 512
+
+    @nn.compact
+    def __call__(self, x):
+        x = dense(x, self.hidden, name="fc1")
+        x = nn.relu(x)
+        return dense(x, self.out_features, use_bias=False, name="fc2")
+
+
+class AffineTransform(nn.Module):
+    """Scale + continuous-position-bias + shift-mask on an attention map.
+
+    attn: (B, nWin, heads, N1, N2).  Matches mixed_attn_block_efficient.py:23-58:
+    learned per-head logit scale clamped at log(100), bias = 16*sigmoid(MLP(table))
+    gathered by a static index, additive {0,-100} mask for shifted windows.
+    """
+
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, attn, table, index, mask):
+        logit_scale = self.param(
+            "logit_scale",
+            lambda _key, shape: jnp.full(shape, math.log(10.0), jnp.float32),
+            (self.num_heads, 1, 1),
+        )
+        scale = jnp.exp(jnp.minimum(logit_scale, math.log(1.0 / 0.01)))
+        attn = attn * scale  # (heads,1,1) broadcasts over (B,nW,heads,N1,N2)
+
+        bias_table = CPBMlp(self.num_heads, name="cpb_mlp")(table)
+        bias_table = bias_table.reshape(-1, self.num_heads)
+        N1, N2 = index.shape
+        bias = bias_table[index.reshape(-1)].reshape(N1, N2, self.num_heads)
+        bias = 16.0 * jax.nn.sigmoid(bias)
+        attn = attn + bias.transpose(2, 0, 1)[None, None]
+
+        if mask is not None:
+            attn = attn + mask[None, :, None, :, :]
+        return attn
+
+
+def _l2_normalize(x, eps=1e-12):
+    # torch F.normalize: x / max(||x||, eps)
+    n = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    return x / jnp.maximum(n, eps)
+
+
+def cosine_attention(q, k, v, transform: Callable, table, index, mask,
+                     euclidean_dist: bool = False):
+    """Shared attention core (mixed_attn_block_efficient.py:77-94).
+
+    q: (B, nW, heads, N1, d); k, v: (B, nW, heads, N2, d) -> (B, nW, heads, N1, d).
+    """
+    if euclidean_dist:
+        attn = jnp.linalg.norm(q[..., :, None, :] - k[..., None, :, :], axis=-1)
+    else:
+        attn = jnp.einsum(
+            "...nd,...md->...nm",
+            _l2_normalize(q),
+            _l2_normalize(k),
+            preferred_element_type=jnp.float32,
+        )
+    attn = transform(attn, table, index, mask)
+    attn = jax.nn.softmax(attn, axis=-1)
+    return jnp.einsum("...nm,...md->...nd", attn, v,
+                      preferred_element_type=jnp.float32)
+
+
+def _split_heads(x, num_heads):
+    """(B, nW, N, C) -> (B, nW, heads, N, C/heads)."""
+    B, nW, N, C = x.shape
+    x = x.reshape(B, nW, N, num_heads, C // num_heads)
+    return x.transpose(0, 1, 3, 2, 4)
+
+
+def _merge_heads(x):
+    """(B, nW, heads, N, d) -> (B, nW, N, heads*d)."""
+    B, nW, H, N, d = x.shape
+    return x.transpose(0, 1, 3, 2, 4).reshape(B, nW, N, H * d)
+
+
+def _split_qkv_heads(qkv, num_heads):
+    """(B, nW, N, 3C) -> three (B, nW, heads, N, C/heads), matching the reference
+    channel order [3, heads, head_dim]."""
+    B, nW, N, C3 = qkv.shape
+    C = C3 // 3
+    qkv = qkv.reshape(B, nW, N, 3, num_heads, C // num_heads)
+    q, k, v = (jnp.moveaxis(qkv[..., i, :, :], -2, 2) for i in range(3))
+    return q, k, v
+
+
+class WindowAttention(nn.Module):
+    """Square-window attention with optional half-window cyclic shift
+    (mixed_attn_block_efficient.py:97-165)."""
+
+    window_size: Size2
+    num_heads: int
+    window_shift: bool
+    euclidean_dist: bool = False
+
+    @nn.compact
+    def __call__(self, qkv, table, index, mask):
+        # qkv: (B, H, W, 3*Cw)
+        B, H, W, _ = qkv.shape
+        shift = self.window_size[0] // 2 if self.window_shift else 0
+
+        if shift > 0:
+            qkv = jnp.roll(qkv, (-shift, -shift), axis=(1, 2))
+
+        qkv = window_partition(qkv, self.window_size)  # (B, nW, N, 3C)
+        q, k, v = _split_qkv_heads(qkv, self.num_heads)
+
+        transform = AffineTransform(self.num_heads, name="attn_transform")
+        x = cosine_attention(q, k, v, transform, table, index,
+                             mask if self.window_shift else None,
+                             self.euclidean_dist)
+
+        x = _merge_heads(x)
+        x = window_reverse(x, self.window_size, (H, W))
+        if shift > 0:
+            x = jnp.roll(x, (shift, shift), axis=(1, 2))
+        return x
+
+
+class AnchorStripeAttention(nn.Module):
+    """Anchored stripe attention — the O(N) global path
+    (mixed_attn_block_efficient.py:177-270).
+
+    Global interaction is routed through a down_factor×-downsampled anchor:
+    first attn(anchor, K)·V aggregates the stripe into anchor tokens, then
+    attn(Q, anchor) redistributes — two skinny matmuls instead of one N×N.
+    """
+
+    stripe_size_cfg: Tuple[Optional[int], Optional[int]]
+    stripe_groups_cfg: Tuple[Optional[int], Optional[int]]
+    stripe_shift: bool
+    num_heads: int
+    anchor_window_down_factor: int
+    euclidean_dist: bool = False
+
+    @nn.compact
+    def __call__(self, qkv, anchor, table, index_a2w, index_w2a, mask_a2w, mask_w2a):
+        # qkv: (B, H, W, 3*Cs); anchor: (B, H/df, W/df, Cs)
+        B, H, W, _ = qkv.shape
+        df = self.anchor_window_down_factor
+
+        stripe_size, shift_size = get_stripe_info(
+            self.stripe_size_cfg, self.stripe_groups_cfg, self.stripe_shift, (H, W)
+        )
+        anchor_stripe = tuple(s // df for s in stripe_size)
+        anchor_shift = tuple(s // df for s in shift_size)
+
+        if self.stripe_shift:
+            qkv = jnp.roll(qkv, (-shift_size[0], -shift_size[1]), axis=(1, 2))
+            anchor = jnp.roll(anchor, (-anchor_shift[0], -anchor_shift[1]), axis=(1, 2))
+
+        qkv = window_partition(qkv, stripe_size)  # (B, nW, N1, 3C)
+        anchor = window_partition(anchor, anchor_stripe)  # (B, nW, N2, C)
+
+        q, k, v = _split_qkv_heads(qkv, self.num_heads)
+        a = _split_heads(anchor, self.num_heads)  # (B, nW, heads, N2, d)
+
+        t1 = AffineTransform(self.num_heads, name="attn_transform1")
+        t2 = AffineTransform(self.num_heads, name="attn_transform2")
+        m_a2w = mask_a2w if self.stripe_shift else None
+        m_w2a = mask_w2a if self.stripe_shift else None
+
+        x = cosine_attention(a, k, v, t1, table, index_a2w, m_a2w,
+                             self.euclidean_dist)
+        x = cosine_attention(q, a, x, t2, table, index_w2a, m_w2a,
+                             self.euclidean_dist)
+
+        x = _merge_heads(x)
+        x = window_reverse(x, stripe_size, (H, W))
+        if self.stripe_shift:
+            x = jnp.roll(x, shift_size, axis=(1, 2))
+        return x
+
+
+class SeparableConv(nn.Module):
+    """Depthwise + pointwise conv (mixed_attn_block.py:642-658)."""
+
+    features: int
+    kernel_size: int
+    strides: int = 1
+    use_bias: bool = True
+    act: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        k = (self.kernel_size, self.kernel_size)
+        x = conv2d(x, in_ch, k, (self.strides, self.strides), self.use_bias,
+                   groups=in_ch, name="depthwise")
+        if self.act:
+            x = gelu(x)
+        return conv2d(x, self.features, (1, 1), use_bias=self.use_bias,
+                      name="pointwise")
+
+
+class QKVProjection(nn.Module):
+    """Shared QKV projection (mixed_attn_block.py:661-676)."""
+
+    dim: int
+    qkv_bias: bool = True
+    proj_type: str = "linear"
+    separable_conv_act: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if self.proj_type == "linear":
+            return dense(x, self.dim * 3, use_bias=self.qkv_bias, name="body")
+        return SeparableConv(self.dim * 3, 3, 1, self.qkv_bias,
+                             self.separable_conv_act, name="body")(x)
+
+
+class PatchMerging(nn.Module):
+    """2×2 space-to-depth + linear reduction (mixed_attn_block.py:679-711)."""
+
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        x0 = x[:, 0::2, 0::2, :]
+        x1 = x[:, 1::2, 0::2, :]
+        x2 = x[:, 0::2, 1::2, :]
+        x3 = x[:, 1::2, 1::2, :]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        return dense(x, self.out_dim, use_bias=False, name="reduction")
+
+
+class AnchorProjection(nn.Module):
+    """Project features to the df×-downsampled anchor map at dim//2 channels
+    (mixed_attn_block.py:714-785).  Deployed config uses avgpool + linear."""
+
+    dim: int
+    proj_type: str = "avgpool"
+    one_stage: bool = True
+    down_factor: int = 4
+    separable_conv_act: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        df = self.down_factor
+        out = self.dim // 2
+        if self.one_stage:
+            if self.proj_type in ("avgpool", "maxpool"):
+                pool = nn.avg_pool if self.proj_type == "avgpool" else nn.max_pool
+                x = pool(x, (df, df), strides=(df, df))
+                return dense(x, out, name="reduction")
+            if self.proj_type == "conv2d":
+                k = df + 1
+                return conv2d(x, out, (k, k), (df, df), name="body")
+            if self.proj_type == "separable_conv":
+                return SeparableConv(out, df + 1, df, True,
+                                     self.separable_conv_act, name="body")(x)
+            if self.proj_type == "patchmerging":
+                return PatchMerging(out, name="body")(x)
+            raise ValueError(self.proj_type)
+        for i in range(int(math.log2(df))):
+            if self.proj_type == "conv2d":
+                x = conv2d(x, out, (3, 3), (2, 2), name=f"body{i}")
+            elif self.proj_type == "separable_conv":
+                x = SeparableConv(out, 3, 2, True, self.separable_conv_act,
+                                  name=f"body{i}")(x)
+            elif self.proj_type == "patchmerging":
+                x = PatchMerging(out, name=f"body{i}")(x)
+            else:
+                raise ValueError(self.proj_type)
+        return x
+
+
+class ChannelAttention(nn.Module):
+    """RCAN squeeze-excite (mixed_attn_block.py:948-967)."""
+
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        y = jnp.mean(x, axis=(1, 2), keepdims=True)
+        y = conv2d(y, C // self.reduction, (1, 1), name="fc1")
+        y = nn.relu(y)
+        y = conv2d(y, C, (1, 1), name="fc2")
+        return x * jax.nn.sigmoid(y)
+
+
+class CAB(nn.Module):
+    """Conv-GELU-conv + channel attention local branch (mixed_attn_block.py:970-983)."""
+
+    compress_ratio: int = 4
+    reduction: int = 18
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        y = conv2d(x, C // self.compress_ratio, (3, 3), name="cab0")
+        y = gelu(y)
+        y = conv2d(y, C, (3, 3), name="cab2")
+        return ChannelAttention(self.reduction, name="ca")(y)
+
+
+class MixedAttention(nn.Module):
+    """Shared-QKV window + anchored-stripe attention
+    (mixed_attn_block_efficient.py:282-397).
+
+    The QKV output splits channel-wise: first half feeds window attention, second
+    half stripe attention; outputs concatenate back before the output projection.
+    """
+
+    dim: int
+    num_heads_w: int
+    num_heads_s: int
+    window_size: Size2
+    window_shift: bool
+    stripe_size_cfg: Tuple[Optional[int], Optional[int]]
+    stripe_groups_cfg: Tuple[Optional[int], Optional[int]]
+    stripe_shift: bool
+    qkv_bias: bool = True
+    qkv_proj_type: str = "linear"
+    anchor_proj_type: str = "avgpool"
+    anchor_one_stage: bool = True
+    anchor_window_down_factor: int = 1
+    separable_conv_act: bool = True
+    euclidean_dist: bool = False
+
+    @nn.compact
+    def __call__(self, x, tim):
+        # x: (B, H, W, C); tim: per-block table/index/mask dict
+        qkv = QKVProjection(self.dim, self.qkv_bias, self.qkv_proj_type,
+                            self.separable_conv_act, name="qkv")(x)
+        qkv_window, qkv_stripe = jnp.split(qkv, 2, axis=-1)
+        anchor = AnchorProjection(self.dim, self.anchor_proj_type,
+                                  self.anchor_one_stage,
+                                  self.anchor_window_down_factor,
+                                  self.separable_conv_act, name="anchor")(x)
+
+        x_window = WindowAttention(
+            self.window_size, self.num_heads_w, self.window_shift,
+            self.euclidean_dist, name="window_attn",
+        )(qkv_window, tim["table_w"], tim["index_w"], tim["mask_w"])
+
+        x_stripe = AnchorStripeAttention(
+            self.stripe_size_cfg, self.stripe_groups_cfg, self.stripe_shift,
+            self.num_heads_s, self.anchor_window_down_factor,
+            self.euclidean_dist, name="stripe_attn",
+        )(qkv_stripe, anchor, tim["table_s"], tim["index_a2w"], tim["index_w2a"],
+          tim["mask_a2w"], tim["mask_w2a"])
+
+        x = jnp.concatenate([x_window, x_stripe], axis=-1)
+        return dense(x, self.dim, name="proj")
+
+
+class EfficientMixAttnTransformerBlock(nn.Module):
+    """GRL transformer block: mixed attention + optional CAB + MLP, post-norm
+    residuals with res_scale (mixed_attn_block_efficient.py:406-556)."""
+
+    dim: int
+    num_heads_w: int
+    num_heads_s: int
+    window_size: Size2
+    window_shift: bool
+    stripe_size_cfg: Tuple[Optional[int], Optional[int]]
+    stripe_groups_cfg: Tuple[Optional[int], Optional[int]]
+    stripe_type: str  # "H" or "W"
+    stripe_shift: bool
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qkv_proj_type: str = "linear"
+    anchor_proj_type: str = "avgpool"
+    anchor_one_stage: bool = True
+    anchor_window_down_factor: int = 1
+    drop_path_rate: float = 0.0
+    res_scale: float = 1.0
+    local_connection: bool = False
+    separable_conv_act: bool = True
+    euclidean_dist: bool = False
+    # static attribute (not a call arg) so nn.remat needs no static_argnums
+    deterministic: bool = True
+
+    def _select_tim(self, g):
+        """Pick this block's slice of the shared geometry dict (efficient block
+        _get_table_index_mask, mixed_attn_block_efficient.py:510-537)."""
+        s = "sv" if self.stripe_type == "W" else "sh"
+        return {
+            "table_w": g["table_w"],
+            "index_w": g["index_w"],
+            "mask_w": g["mask_w"],
+            "table_s": g[f"table_{s}"],
+            "index_a2w": g[f"index_{s}_a2w"],
+            "index_w2a": g[f"index_{s}_w2a"],
+            "mask_a2w": g[f"mask_{s}_a2w"],
+            "mask_w2a": g[f"mask_{s}_w2a"],
+        }
+
+    @nn.compact
+    def __call__(self, x, geometry):
+        deterministic = self.deterministic
+        tim = self._select_tim(geometry)
+        if self.stripe_type == "W":
+            ssize = self.stripe_size_cfg[::-1]
+            sgroups = self.stripe_groups_cfg[::-1]
+        else:
+            ssize = self.stripe_size_cfg
+            sgroups = self.stripe_groups_cfg
+
+        attn = MixedAttention(
+            self.dim, self.num_heads_w, self.num_heads_s, self.window_size,
+            self.window_shift, ssize, sgroups, self.stripe_shift, self.qkv_bias,
+            self.qkv_proj_type, self.anchor_proj_type, self.anchor_one_stage,
+            self.anchor_window_down_factor, self.separable_conv_act,
+            self.euclidean_dist, name="attn",
+        )
+
+        def dp(y):
+            rng = self.make_rng("droppath") if (
+                not deterministic and self.drop_path_rate > 0.0) else None
+            return drop_path(y, self.drop_path_rate, deterministic, rng)
+
+        branch = self.res_scale * dp(layer_norm(attn(x, tim), name="norm1"))
+        if self.local_connection:
+            branch = branch + CAB(name="conv")(x)
+        x = x + branch
+        x = x + self.res_scale * dp(
+            layer_norm(Mlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(x),
+                       name="norm2"))
+        return x

@@ -1,0 +1,263 @@
+"""GRL network: image restoration transformer with global/regional/local modelling.
+
+TPU-native re-design of the reference GRL (/root/reference/models/networks/grl.py:176):
+NHWC throughout, geometry precomputed on host per padded shape (grl.py:309-310,431-453
+becomes `GRLConfig.geometry(x_size)` + an LRU cache), reconstruction tails expressed as
+reshape-based pixel shuffles, and `jax.checkpoint` per block instead of fairscale's
+checkpoint_wrapper.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass, field, replace
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from grlir.models.blocks import (
+    EfficientMixAttnTransformerBlock,
+    conv2d,
+    dense,
+    layer_norm,
+)
+from grlir.ops.geometry import GeometryConfig, build_geometry
+from grlir.ops.layout import nearest_upsample, pad_to_multiple, pixel_shuffle
+
+Size2 = Tuple[int, int]
+
+# Fixed DIV2K RGB mean (grl.py:267-271).
+RGB_MEAN = (0.4488, 0.4371, 0.4040)
+
+
+@dataclass(frozen=True)
+class GRLConfig:
+    """Static hyperparameters of a GRL network (grl.py:220-256)."""
+
+    in_channels: int = 3
+    out_channels: Optional[int] = None
+    embed_dim: int = 96
+    upscale: int = 2
+    img_range: float = 1.0
+    upsampler: str = ""  # pixelshuffle | pixelshuffledirect | nearest+conv | ""
+    depths: Tuple[int, ...] = (6, 6, 6, 6, 6, 6)
+    num_heads_window: Tuple[int, ...] = (3, 3, 3, 3, 3, 3)
+    num_heads_stripe: Tuple[int, ...] = (3, 3, 3, 3, 3, 3)
+    window_size: int = 8
+    stripe_size: Tuple[Optional[int], Optional[int]] = (8, 8)
+    stripe_groups: Tuple[Optional[int], Optional[int]] = (None, None)
+    stripe_shift: bool = False
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qkv_proj_type: str = "linear"
+    anchor_proj_type: str = "avgpool"
+    anchor_one_stage: bool = True
+    anchor_window_down_factor: int = 1
+    local_connection: bool = False
+    drop_path_rate: float = 0.1
+    conv_type: str = "1conv"
+    init_method: str = "n"
+    separable_conv_act: bool = True
+    euclidean_dist: bool = False
+    num_out_feats: int = 64
+    remat: bool = False  # jax.checkpoint each transformer block
+
+    @property
+    def resolved_out_channels(self) -> int:
+        return self.out_channels or self.in_channels
+
+    @property
+    def geometry_config(self) -> GeometryConfig:
+        return GeometryConfig(
+            window_size=(self.window_size, self.window_size),
+            stripe_size=tuple(self.stripe_size),
+            stripe_groups=tuple(self.stripe_groups),
+            anchor_window_down_factor=self.anchor_window_down_factor,
+        )
+
+    @property
+    def pad_size(self) -> int:
+        return self.geometry_config.pad_size
+
+    def geometry(self, x_size: Size2) -> Dict[str, np.ndarray]:
+        """Host-side geometry for one padded resolution (cached)."""
+        return _cached_geometry(self.geometry_config, x_size)
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_geometry(gcfg: GeometryConfig, x_size: Size2):
+    return build_geometry(gcfg, x_size)
+
+
+class LastConv3(nn.Module):
+    """3conv variant of the pre-residual conv block (swin_v1_block.py:471-479)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = conv2d(x, self.dim // 4, (3, 3), name="conv1")
+        x = nn.leaky_relu(x, 0.2)
+        x = conv2d(x, self.dim // 4, (1, 1), name="conv2")
+        x = nn.leaky_relu(x, 0.2)
+        return conv2d(x, self.dim, (3, 3), name="conv3")
+
+
+def last_conv(x, conv_type: str, dim: int, *, name: str):
+    """Conv block before residual connection (swin_v1_block.py:469-485)."""
+    if conv_type == "1conv":
+        return conv2d(x, dim, (3, 3), name=name)
+    if conv_type == "1conv1x1":
+        return conv2d(x, dim, (1, 1), name=name)
+    if conv_type == "linear":
+        return dense(x, dim, name=name)
+    if conv_type == "3conv":
+        return LastConv3(dim, name=name)(x)
+    raise ValueError(conv_type)
+
+
+class TransformerStage(nn.Module):
+    """Stack of mixed-attention blocks + conv with outer residual (grl.py:31-173).
+
+    Block schedule: window shift on even blocks, H stripes on even / W (vertical)
+    stripes on odd blocks, stripe shift on blocks i%4 in {2,3} (grl.py:112-116).
+    """
+
+    cfg: GRLConfig
+    depth: int
+    num_heads_w: int
+    num_heads_s: int
+    drop_path_rates: Tuple[float, ...]
+
+    @nn.compact
+    def __call__(self, x, geometry, deterministic: bool = True):
+        cfg = self.cfg
+        block_cls = (
+            nn.remat(EfficientMixAttnTransformerBlock)
+            if cfg.remat
+            else EfficientMixAttnTransformerBlock
+        )
+        res = x
+        for i in range(self.depth):
+            block = block_cls(
+                dim=cfg.embed_dim,
+                num_heads_w=self.num_heads_w,
+                num_heads_s=self.num_heads_s,
+                window_size=(cfg.window_size, cfg.window_size),
+                window_shift=i % 2 == 0,
+                stripe_size_cfg=tuple(cfg.stripe_size),
+                stripe_groups_cfg=tuple(cfg.stripe_groups),
+                stripe_type="H" if i % 2 == 0 else "W",
+                stripe_shift=(i % 4 in (2, 3)) if cfg.stripe_shift else False,
+                mlp_ratio=cfg.mlp_ratio,
+                qkv_bias=cfg.qkv_bias,
+                qkv_proj_type=cfg.qkv_proj_type,
+                anchor_proj_type=cfg.anchor_proj_type,
+                anchor_one_stage=cfg.anchor_one_stage,
+                anchor_window_down_factor=cfg.anchor_window_down_factor,
+                drop_path_rate=self.drop_path_rates[i],
+                res_scale=0.1 if cfg.init_method == "r" else 1.0,
+                local_connection=cfg.local_connection,
+                separable_conv_act=cfg.separable_conv_act,
+                euclidean_dist=cfg.euclidean_dist,
+                deterministic=deterministic,
+                name=f"blocks_{i}",
+            )
+            res = block(res, geometry)
+        res = last_conv(res, cfg.conv_type, cfg.embed_dim, name="conv")
+        return res + x
+
+
+class GRL(nn.Module):
+    """GRL restoration transformer (grl.py:176-551).  Input/output NHWC in [0, 1]."""
+
+    cfg: GRLConfig
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        cfg = self.cfg
+        B, H, W, _ = x.shape
+        x = pad_to_multiple(x, cfg.pad_size)
+
+        if cfg.in_channels == 3:
+            mean = jnp.asarray(RGB_MEAN, x.dtype).reshape(1, 1, 1, 3)
+        else:
+            mean = jnp.zeros((1, 1, 1, 1), x.dtype)
+        x = (x - mean) * cfg.img_range
+
+        geometry = {
+            k: jnp.asarray(v) for k, v in cfg.geometry((x.shape[1], x.shape[2])).items()
+        }
+
+        def features(feat):
+            feat = layer_norm(feat, name="norm_start")
+            dpr = np.linspace(0, cfg.drop_path_rate, sum(cfg.depths)).tolist()
+            for i, depth in enumerate(cfg.depths):
+                feat = TransformerStage(
+                    cfg,
+                    depth,
+                    cfg.num_heads_window[i],
+                    cfg.num_heads_stripe[i],
+                    tuple(dpr[sum(cfg.depths[:i]): sum(cfg.depths[: i + 1])]),
+                    name=f"layers_{i}",
+                )(feat, geometry, deterministic)
+            return layer_norm(feat, name="norm_end")
+
+        def body(feat):
+            return last_conv(features(feat), cfg.conv_type, cfg.embed_dim,
+                             name="conv_after_body") + feat
+
+        out_ch = cfg.resolved_out_channels
+        nf = cfg.num_out_feats
+
+        if cfg.upsampler == "pixelshuffle":
+            x = conv2d(x, cfg.embed_dim, name="conv_first")
+            x = body(x)
+            x = nn.leaky_relu(conv2d(x, nf, name="conv_before_upsample"), 0.01)
+            # Upsample: conv+shuffle per factor-2 step (upsample.py:6-30)
+            scale = cfg.upscale
+            if (scale & (scale - 1)) == 0:
+                for i in range(int(math.log2(scale))):
+                    x = conv2d(x, 4 * nf, name=f"upsample_{i}")
+                    x = pixel_shuffle(x, 2)
+            elif scale == 3:
+                x = conv2d(x, 9 * nf, name="upsample_0")
+                x = pixel_shuffle(x, 3)
+            else:
+                raise ValueError(f"unsupported scale {scale}")
+            x = conv2d(x, out_ch, name="conv_last")
+        elif cfg.upsampler == "pixelshuffledirect":
+            x = conv2d(x, cfg.embed_dim, name="conv_first")
+            x = body(x)
+            x = conv2d(x, cfg.upscale**2 * out_ch, name="upsample_0")
+            x = pixel_shuffle(x, cfg.upscale)
+        elif cfg.upsampler == "nearest+conv":
+            assert cfg.upscale == 4, "nearest+conv tail supports x4 only"
+            x = conv2d(x, cfg.embed_dim, name="conv_first")
+            x = body(x)
+            x = nn.leaky_relu(conv2d(x, nf, name="conv_before_upsample"), 0.01)
+            x = nn.leaky_relu(
+                conv2d(nearest_upsample(x, 2), nf, name="conv_up1"), 0.2)
+            x = nn.leaky_relu(
+                conv2d(nearest_upsample(x, 2), nf, name="conv_up2"), 0.2)
+            x = conv2d(
+                nn.leaky_relu(conv2d(x, nf, name="conv_hr"), 0.2),
+                out_ch, name="conv_last")
+        else:
+            # denoising / JPEG artifact removal tail (grl.py:540-547)
+            res = body(conv2d(x, cfg.embed_dim, name="conv_first"))
+            if cfg.in_channels == out_ch:
+                x = x + conv2d(res, out_ch, name="conv_last")
+            else:
+                x = conv2d(res, out_ch, name="conv_last")
+
+        x = x / cfg.img_range + mean
+        return x[:, : H * cfg.upscale, : W * cfg.upscale, :]
+
+
+def param_count(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))

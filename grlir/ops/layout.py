@@ -1,0 +1,72 @@
+"""Layout transforms for NHWC feature maps.
+
+The network keeps features in NHWC (TPU-native conv layout).  Window partitioning
+keeps the batch dimension separate — windows become an explicit axis instead of
+being folded into batch (the reference folds them, mixed_attn_block_efficient.py:146),
+which lets XLA batch the per-window attention einsums cleanly.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+Size2 = Tuple[int, int]
+
+
+def window_partition(x: jnp.ndarray, window_size: Size2) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, nWin, wh*ww, C) in row-major window order."""
+    B, H, W, C = x.shape
+    wh, ww = window_size
+    x = x.reshape(B, H // wh, wh, W // ww, ww, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, (H // wh) * (W // ww), wh * ww, C)
+
+
+def window_reverse(x: jnp.ndarray, window_size: Size2, x_size: Size2) -> jnp.ndarray:
+    """(B, nWin, wh*ww, C) -> (B, H, W, C)."""
+    H, W = x_size
+    wh, ww = window_size
+    B = x.shape[0]
+    C = x.shape[-1]
+    x = x.reshape(B, H // wh, W // ww, wh, ww, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H, W, C)
+
+
+def pixel_shuffle(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """NHWC pixel shuffle with torch channel semantics.
+
+    Input channel index c*scale^2 + i*scale + j maps to output channel c at spatial
+    offset (i, j) — matches torch.nn.PixelShuffle so converted conv weights behave
+    identically.
+    """
+    B, H, W, C = x.shape
+    r = scale
+    oc = C // (r * r)
+    x = x.reshape(B, H, W, oc, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # B, H, r, W, r, oc
+    return x.reshape(B, H * r, W * r, oc)
+
+
+def nearest_upsample(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """NHWC nearest-neighbour upsampling (torch F.interpolate mode='nearest')."""
+    B, H, W, C = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, scale, W, scale, C))
+    return x.reshape(B, H * scale, W * scale, C)
+
+
+def pad_to_multiple(x: jnp.ndarray, multiple: int) -> jnp.ndarray:
+    """Reflect-pad H and W (bottom/right) to the next multiple (grl.py:479-489).
+
+    Falls back to zero padding when the image is smaller than the pad amount, like
+    the reference's try/except.
+    """
+    B, H, W, C = x.shape
+    ph = (multiple - H % multiple) % multiple
+    pw = (multiple - W % multiple) % multiple
+    if ph == 0 and pw == 0:
+        return x
+    mode = "reflect" if (ph < H and pw < W) else "constant"
+    return jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode=mode)

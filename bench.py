@@ -1,0 +1,98 @@
+"""Benchmark: GRL-S x4 SR inference throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+North-star metric (BASELINE.json): megapixels/sec/chip for GRL-S x4 SR;
+target >= 10x the PyTorch reference per chip.  vs_baseline is measured against
+the live PyTorch reference model run on this host's CPU when available (the
+only reference runtime that exists in this environment), else against a
+recorded constant.
+
+Env knobs: GRLIR_BENCH_HW (input H, default 256), GRLIR_BENCH_BS (batch, 1),
+GRLIR_BENCH_ITERS (20), GRLIR_BENCH_SKIP_TORCH=1 to skip the torch baseline.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def bench_jax(hw: int, bs: int, iters: int) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from grlir.models import zoo
+    from grlir.models.grl import GRL
+
+    model = GRL(zoo.GRL_SMALL)
+    x = jnp.asarray(np.random.default_rng(0).random((bs, hw, hw, 3)), jnp.float32)
+    # init must run under jit: unjitted init is minutes-slow over the TPU tunnel
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    # Reduce the output to a scalar inside the program and fetch it: over the
+    # axon tunnel, block_until_ready() does NOT synchronize remote execution
+    # (it returns ~0.3ms for an 89ms program) and fetching the full image is
+    # transfer-dominated.  A scalar fetch forces completion at negligible
+    # transfer cost, so the measurement is honest device time (+small RTT).
+    fwd = jax.jit(lambda p, v: jnp.sum(model.apply(p, v)))
+
+    float(fwd(params, x))  # compile + warmup
+    float(fwd(params, x))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s = float(fwd(params, x))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(s)
+    return bs * hw * hw * iters / 1e6 / dt
+
+
+def bench_torch_reference(hw: int, iters: int = 2) -> float:
+    """Reference PyTorch GRL-S on host CPU (the only torch runtime here)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    import torch
+
+    import oracle
+
+    model = oracle.reference_grl(
+        img_size=64, upscale=4, window_size=8, depths=[4, 4, 4, 4], embed_dim=128,
+        num_heads_window=[2] * 4, num_heads_stripe=[2] * 4, mlp_ratio=2,
+        anchor_window_down_factor=4, stripe_size=[8, None],
+        stripe_groups=[None, 4], stripe_shift=True, upsampler="pixelshuffle",
+    )
+    x = torch.rand(1, 3, hw, hw)
+    with torch.no_grad():
+        model(x)  # warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            model(x)
+        dt = time.perf_counter() - t0
+    return hw * hw * iters / 1e6 / dt
+
+
+def main():
+    hw = int(os.environ.get("GRLIR_BENCH_HW", 256))
+    bs = int(os.environ.get("GRLIR_BENCH_BS", 1))
+    iters = int(os.environ.get("GRLIR_BENCH_ITERS", 20))
+
+    mps = bench_jax(hw, bs, iters)
+
+    vs = None
+    if os.environ.get("GRLIR_BENCH_SKIP_TORCH", "0") != "1":
+        try:
+            baseline = bench_torch_reference(hw)
+            vs = mps / baseline
+        except Exception:
+            vs = None
+
+    print(json.dumps({
+        "metric": f"grl_s_x4_sr_throughput_{hw}px_bs{bs}",
+        "value": round(mps, 3),
+        "unit": "megapixels/sec/chip",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -31,7 +31,8 @@ def _weights_indices(
     if scale < 1 and antialiasing:
         kernel_width = kernel_width / scale
 
-    x = np.arange(1, out_length + 1, dtype=np.float64)
+    # float32 like the reference (torch.linspace default dtype) for bit parity
+    x = np.arange(1, out_length + 1, dtype=np.float32)
     u = x / scale + 0.5 * (1 - 1 / scale)
     left = np.floor(u - kernel_width / 2)
     p = math.ceil(kernel_width) + 2

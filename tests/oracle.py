@@ -71,6 +71,26 @@ def _install_stubs():
     oc.OmegaConf = OmegaConf
     sys.modules["omegaconf"] = oc
 
+    # torchmetrics: reference metric modules subclass torchmetrics.Metric but
+    # the oracle only calls their pure functions
+    tmx = types.ModuleType("torchmetrics")
+
+    class Metric:
+        def __init__(self, **kwargs):
+            pass
+
+        def add_state(self, *a, **k):
+            pass
+
+    tmx.Metric = Metric
+    tmx.PeakSignalNoiseRatio = Metric
+    sys.modules["torchmetrics"] = tmx
+
+    # scipy.ndimage.filters was removed in modern scipy; alias it
+    import scipy.ndimage as _ndi
+
+    sys.modules.setdefault("scipy.ndimage.filters", _ndi)
+
     if _REFERENCE_PATH not in sys.path:
         sys.path.insert(0, _REFERENCE_PATH)
     _installed = True

@@ -1,0 +1,104 @@
+"""Discriminator + GAN engine tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from grlir.engines.gan import (
+    GANLossConfig,
+    create_gan_state,
+    make_gan_train_step,
+)
+from grlir.losses.gan import gan_loss
+from grlir.models.discriminator import (
+    SNConv,
+    UNetDiscriminatorSN,
+    VGGStyleDiscriminator,
+)
+from grlir.models.grl import GRL, GRLConfig
+from grlir.optim import build_optimizer
+
+
+def test_unet_discriminator_shapes():
+    d = UNetDiscriminatorSN(num_feat=16)
+    x = jnp.zeros((2, 64, 64, 3))
+    variables = d.init(jax.random.PRNGKey(0), x)
+    y, new_vars = d.apply(variables, x, True, mutable=["spectral"])
+    assert y.shape == (2, 64, 64, 1)
+    # spectral u vectors updated in train mode
+    u0 = jax.tree_util.tree_leaves(variables["spectral"])[0]
+    u1 = jax.tree_util.tree_leaves(new_vars["spectral"])[0]
+    assert not np.allclose(np.asarray(u0), np.asarray(u1))
+    # eval mode: no mutation needed
+    y2 = d.apply(variables, x, False)
+    assert y2.shape == (2, 64, 64, 1)
+
+
+def test_sn_conv_normalizes_spectral_norm():
+    """After many power iterations the effective kernel has sigma ~= 1."""
+    m = SNConv(8, (3, 3))
+    x = jnp.zeros((1, 8, 8, 4))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    vs = variables
+    for _ in range(50):
+        _, new = m.apply(vs, x, True, mutable=["spectral"])
+        vs = {**vs, "spectral": new["spectral"]}
+    k = np.asarray(variables["params"]["kernel"])
+    w = k.transpose(3, 2, 0, 1).reshape(8, -1)
+    u = np.asarray(jax.tree_util.tree_leaves(vs["spectral"])[0])
+    v = w.T @ u
+    v /= np.linalg.norm(v)
+    sigma_est = u @ (w @ v)
+    sigma_true = np.linalg.svd(w, compute_uv=False)[0]
+    assert sigma_est == pytest.approx(sigma_true, rel=1e-3)
+
+
+def test_vgg_style_discriminator():
+    d = VGGStyleDiscriminator(num_feat=8, input_size=128)
+    x = jnp.zeros((2, 128, 128, 3))
+    variables = d.init(jax.random.PRNGKey(0), x, train=False)
+    y = d.apply(variables, x, train=False)
+    assert y.shape == (2, 1)
+
+
+def test_gan_loss_types():
+    logits = jnp.asarray([[1.0], [-2.0]])
+    for t in ("vanilla", "lsgan", "wgan", "wgan_softplus", "hinge"):
+        g = gan_loss(logits, True, t, is_disc=False, loss_weight=0.1)
+        d = gan_loss(logits, False, t, is_disc=True)
+        assert np.isfinite(float(g)) and np.isfinite(float(d))
+
+
+def test_gan_train_step_runs_and_improves():
+    gen_cfg = GRLConfig(
+        embed_dim=16, upscale=1, upsampler="", depths=(1,),
+        num_heads_window=(2,), num_heads_stripe=(2,), window_size=4,
+        mlp_ratio=1, stripe_size=(4, None), stripe_groups=(None, 4),
+        stripe_shift=False, anchor_window_down_factor=2, drop_path_rate=0.0,
+    )
+    gen = GRL(gen_cfg)
+    disc = UNetDiscriminatorSN(num_feat=8)
+
+    key = jax.random.PRNGKey(0)
+    lq = jax.random.uniform(key, (2, 16, 16, 3))
+    gt = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3))
+
+    params_g = gen.init(key, lq)
+    disc_vars = disc.init(jax.random.PRNGKey(2), gt)
+    opt_g = build_optimizer("adam", learning_rate=1e-3)
+    opt_d = build_optimizer("adam", learning_rate=1e-3)
+    state = create_gan_state(params_g, disc_vars, opt_g, opt_d)
+
+    step = make_gan_train_step(gen, disc, opt_g, opt_d,
+                               GANLossConfig(use_usm_pixel=False))
+    batch = {"img_lq": lq, "img_gt": gt}
+    metrics_hist = []
+    for i in range(5):
+        state, metrics = step(state, batch, jax.random.PRNGKey(10 + i))
+        metrics_hist.append({k: float(v) for k, v in metrics.items()})
+    for m in metrics_hist:
+        assert np.isfinite(m["loss_g"]) and np.isfinite(m["loss_d"])
+    # pixel loss should drop as G fits the tiny batch
+    assert metrics_hist[-1]["loss_g_pix"] < metrics_hist[0]["loss_g_pix"]
+    assert int(state.step) == 5

@@ -1,0 +1,112 @@
+"""Host-side batch loader: threaded prefetch producing fixed-shape numpy batches.
+
+Replaces torch DataLoader workers (data/data_module/ir_data_module.py:69-88) with
+a thread pool (cv2/numpy/h5py release the GIL during decode) and a bounded
+prefetch queue.  Batches are dicts of stacked numpy arrays ready for
+jax.device_put; string fields are kept as lists.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+def _collate(samples: List[dict]) -> dict:
+    out: Dict[str, object] = {}
+    for k in samples[0]:
+        vals = [s[k] for s in samples]
+        if isinstance(vals[0], str):
+            out[k] = vals
+        else:
+            out[k] = np.stack([np.asarray(v) for v in vals])
+    return out
+
+
+class DataLoader:
+    """Minimal epoch-based loader: shuffle, drop_last, threaded map, prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 1,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        num_workers: int = 2,
+        prefetch: int = 4,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(num_workers, 1)
+        self.prefetch = prefetch
+        self.seed = seed
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
+    def _index_batches(self) -> List[List[int]]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(order)
+        batches = [
+            order[i: i + self.batch_size].tolist()
+            for i in range(0, n, self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+        return batches
+
+    def __iter__(self) -> Iterator[dict]:
+        batches = self._index_batches()
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        END = object()
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for idxs in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(self.dataset.__getitem__, idxs))
+                        q.put(_collate(samples))
+                q.put(END)
+            except BaseException as e:  # propagate worker errors to consumer
+                q.put(e)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is END:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+    def infinite(self) -> Iterator[dict]:
+        """Endless stream for step-based training (the reference converts steps
+        into a virtual epoch, utils/utils_train.py:25-35; we just cycle)."""
+        epoch = 0
+        while True:
+            self.set_epoch(epoch)
+            yield from self
+            epoch += 1

@@ -1,0 +1,84 @@
+"""Task-name -> dataset wiring (IRDataModule equivalent,
+data/data_module/ir_data_module.py:22-88)."""
+
+from __future__ import annotations
+
+from dataclasses import fields
+from typing import Dict, List, Optional
+
+from grlir.data.base import TRAIN, VAL
+from grlir.data.loader import DataLoader
+from grlir.data.tasks import (
+    DeblurDataset,
+    DemosaicDataset,
+    DnDataset,
+    JPEGDataset,
+    PairedDataset,
+    SRDataset,
+    TaskConfig,
+)
+
+TASK_DATASETS = {
+    "dn": DnDataset,
+    "sr": SRDataset,
+    "jpeg": JPEGDataset,
+    "dm": DemosaicDataset,
+    "db": DeblurDataset,
+    "paired": PairedDataset,
+}
+
+
+def _bsr_dataset():
+    from grlir.data.bsr import BSRDataset
+
+    return BSRDataset
+
+
+def task_config(name: str, section: dict, extra: Optional[dict] = None) -> TaskConfig:
+    """Build a TaskConfig from a config-tree section, ignoring unknown keys."""
+    known = {f.name for f in fields(TaskConfig)}
+    merged = {"name": name, **{k: v for k, v in section.items() if k in known}}
+    if extra:
+        merged.update({k: v for k, v in extra.items() if k in known})
+    if "patch_size" not in merged and "lr_patch_size" in section:
+        merged["patch_size"] = section["lr_patch_size"]
+    return TaskConfig(**merged)
+
+
+class IRDataModule:
+    """Builds train loader + one val loader per '+'-joined val dataset."""
+
+    def __init__(self, cfg: dict, num_train_samples: int = 0, seed: int = 0):
+        self.name = cfg["name"]
+        ds_cls = _bsr_dataset() if self.name == "bsr" else TASK_DATASETS[self.name]
+        # bsr validates on synthetic SR pairs (ir_data_module.py:54-57)
+        val_cls = SRDataset if self.name == "bsr" else ds_cls
+
+        self.train_cfg = task_config(self.name, cfg.get("train", {}))
+        self.train_dataset = ds_cls(self.train_cfg, TRAIN, num_train_samples)
+
+        self.val_datasets = {}
+        val_section = cfg.get("val", {}) or {}
+        for ds_name in str(val_section.get("dataset", "")).split("+"):
+            if not ds_name:
+                continue
+            vc = task_config(
+                "sr" if self.name == "bsr" else self.name,
+                val_section, {"dataset": ds_name},
+            )
+            self.val_datasets[ds_name] = val_cls(vc, VAL)
+
+        self._cfg = cfg
+        self._seed = seed
+
+    def train_loader(self, batch_size: int, num_workers: int = 2) -> DataLoader:
+        return DataLoader(self.train_dataset, batch_size, shuffle=True,
+                          drop_last=True, num_workers=num_workers,
+                          seed=self._seed)
+
+    def val_loaders(self, batch_size: int = 1, num_workers: int = 2):
+        return {
+            name: DataLoader(ds, batch_size, shuffle=False, drop_last=False,
+                             num_workers=num_workers)
+            for name, ds in self.val_datasets.items()
+        }

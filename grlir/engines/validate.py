@@ -1,0 +1,128 @@
+"""Validation loop: per-task preprocessing, tiled inference, metrics, reporting.
+
+Mirrors BaseEngine.validation_step/_epoch_end (engines/base.py:256-436):
+quantize restored/target to the 1/255 grid, shave(scale) for SR, per-image
+metric vectors accumulated with sample indices and dedup-averaged, per-image
+text table + CSV row output.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import os.path as osp
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from grlir.data import degradations as D
+from grlir.metrics import basic as MB
+from grlir.metrics.collect import MetricAccumulator
+from grlir.utils.image import shave, tensor_round, to_uint8
+
+METRIC_FNS: Dict[str, Callable] = {
+    "psnr": MB.psnr,
+    "psnr_y": MB.psnr_y,
+    "ssim": MB.ssim,
+    "ssim_y": MB.ssim_y,
+    "psnrb": MB.psnrb,
+    "psnrb_y": MB.psnrb_y,
+}
+
+
+def preprocess_val_batch(batch: dict, task: str,
+                         blur_kernel: Optional[np.ndarray] = None):
+    """Per-task on-device input synthesis (engines/base.py:118-142)."""
+    if task == "paired_dual":
+        lq = np.concatenate([batch["img_lq_l"], batch["img_lq_r"]], axis=-1)
+        return lq, batch["img_gt"]
+    lq = batch["img_lq"]
+    gt = batch["img_gt"]
+    if task == "dm":
+        lq = np.asarray(D.dm_matlab(jnp.asarray(lq)))
+    elif task == "db":
+        lq, gt = D.db_forward(jnp.asarray(lq), jnp.asarray(gt), blur_kernel,
+                              training=False)
+        lq, gt = np.asarray(lq), np.asarray(gt)
+    return lq, gt
+
+
+def validate(
+    restorer,
+    loader,
+    metric_names: Sequence[str] = ("psnr", "psnr_y", "ssim", "ssim_y"),
+    task: str = "sr",
+    scale: int = 1,
+    blur_kernel: Optional[np.ndarray] = None,
+    save_dir: Optional[str] = None,
+    gather_across_hosts: bool = False,
+) -> Dict[str, float]:
+    """Run a full validation pass; returns {metric: value} plus writes
+    per-image table to save_dir if given."""
+    names = [n for n in metric_names if n != "niqe"]
+    use_niqe = "niqe" in metric_names
+    acc = MetricAccumulator(list(metric_names))
+
+    for batch in loader:
+        lq, gt = preprocess_val_batch(batch, task, blur_kernel)
+        restored = restorer(np.asarray(lq))
+        restored = np.asarray(tensor_round(jnp.asarray(restored)))
+        target = np.asarray(tensor_round(jnp.asarray(gt)))
+
+        if save_dir:
+            _save_images(save_dir, task, batch["filenames"], lq, restored,
+                         target)
+
+        if "sr" in task:
+            restored_m = np.asarray(shave(jnp.asarray(restored), scale))
+            target_m = np.asarray(shave(jnp.asarray(target), scale))
+        else:
+            restored_m, target_m = restored, target
+
+        values = {}
+        for n in names:
+            values[n] = np.asarray(
+                METRIC_FNS[n](jnp.asarray(restored_m), jnp.asarray(target_m))
+            )
+        if use_niqe:
+            from grlir.metrics.niqe import niqe_batch
+
+            values["niqe"] = niqe_batch(restored_m)
+        acc.update(values, batch["indices"], batch["filenames"])
+
+    if gather_across_hosts:
+        acc.gather_across_hosts()
+    results = acc.compute()
+    if save_dir:
+        os.makedirs(save_dir, exist_ok=True)
+        with open(osp.join(save_dir, "per_image_metrics.txt"), "w") as f:
+            f.write(acc.per_image_table())
+    return results
+
+
+def _save_images(save_dir, task, filenames, lq, restored, target):
+    """LQ/HQ/GT dumps with per-task directory layout (engines/base.py:497-554)."""
+    import cv2
+
+    for sub in ("LQ", "HQ", "GT"):
+        os.makedirs(osp.join(save_dir, sub), exist_ok=True)
+    for i, name in enumerate(filenames):
+        base = osp.splitext(osp.basename(name))[0] + ".png"
+        for sub, img in (("LQ", lq[i]), ("HQ", restored[i]), ("GT", target[i])):
+            arr = to_uint8(img)
+            if arr.shape[-1] == 3:
+                arr = cv2.cvtColor(arr, cv2.COLOR_RGB2BGR)
+            cv2.imwrite(osp.join(save_dir, sub, base), arr)
+
+
+def write_results_csv(path: str, tag: str, val_set: str,
+                      results: Dict[str, float], step: int):
+    """Append one row per (val_set, step) like the reference's final-validation
+    CSV (engines/base.py:392-422)."""
+    exists = osp.exists(path)
+    with open(path, "a", newline="") as f:
+        w = csv.writer(f)
+        if not exists:
+            w.writerow(["tag", "val_set", "step"] + list(results.keys()))
+        w.writerow([tag, val_set, step] + [f"{v:.4f}" for v in results.values()])

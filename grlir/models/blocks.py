@@ -52,8 +52,11 @@ def _conv_bias_init(fan_in: int):
 
 
 def conv2d(x, features: int, kernel_size: Size2 = (3, 3), strides: Size2 = (1, 1),
-           use_bias: bool = True, groups: int = 1, *, name: str):
-    """Conv with torch-default init attached directly to the calling module."""
+           use_bias: bool = True, groups: int = 1, *, name: str, dtype=None):
+    """Conv with torch-default init attached directly to the calling module.
+
+    `dtype` is the computation dtype (params stay float32); bf16 keeps the MXU
+    fed and halves HBM traffic on the bandwidth-bound GRL workload."""
     in_ch = x.shape[-1]
     fan_in = (in_ch // groups) * int(np.prod(kernel_size))
     return nn.Conv(
@@ -65,23 +68,28 @@ def conv2d(x, features: int, kernel_size: Size2 = (3, 3), strides: Size2 = (1, 1
         feature_group_count=groups,
         kernel_init=conv_kernel_init,
         bias_init=_conv_bias_init(fan_in),
+        dtype=dtype,
         name=name,
     )(x)
 
 
-def dense(x, features: int, use_bias: bool = True, *, name: str):
+def dense(x, features: int, use_bias: bool = True, *, name: str, dtype=None):
     """Linear with the reference's trunc-normal(0.02)/zero-bias init."""
     return nn.Dense(
         features,
         use_bias=use_bias,
         kernel_init=dense_kernel_init,
         bias_init=nn.initializers.zeros,
+        dtype=dtype,
         name=name,
     )(x)
 
 
 def layer_norm(x, *, name: str):
-    return nn.LayerNorm(epsilon=1e-5, name=name)(x)
+    # always normalize in float32 for stability; cast back to the input dtype
+    y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=name)(
+        x.astype(jnp.float32))
+    return y.astype(x.dtype)
 
 
 def gelu(x):
@@ -104,12 +112,13 @@ class Mlp(nn.Module):
 
     hidden_features: int
     out_features: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        x = dense(x, self.hidden_features, name="fc1")
+        x = dense(x, self.hidden_features, name="fc1", dtype=self.dtype)
         x = gelu(x)
-        return dense(x, self.out_features, name="fc2")
+        return dense(x, self.out_features, name="fc2", dtype=self.dtype)
 
 
 class CPBMlp(nn.Module):
@@ -131,27 +140,32 @@ class AffineTransform(nn.Module):
     attn: (B, nWin, heads, N1, N2).  Matches mixed_attn_block_efficient.py:23-58:
     learned per-head logit scale clamped at log(100), bias = 16*sigmoid(MLP(table))
     gathered by a static index, additive {0,-100} mask for shifted windows.
+
+    setup-style so the fused Pallas path can read (logit_scale, bias) without
+    applying them (grlir.ops.pallas.attention).
     """
 
     num_heads: int
 
-    @nn.compact
-    def __call__(self, attn, table, index, mask):
-        logit_scale = self.param(
+    def setup(self):
+        self.logit_scale = self.param(
             "logit_scale",
             lambda _key, shape: jnp.full(shape, math.log(10.0), jnp.float32),
             (self.num_heads, 1, 1),
         )
-        scale = jnp.exp(jnp.minimum(logit_scale, math.log(1.0 / 0.01)))
-        attn = attn * scale  # (heads,1,1) broadcasts over (B,nW,heads,N1,N2)
+        self.cpb_mlp = CPBMlp(self.num_heads, name="cpb_mlp")
 
-        bias_table = CPBMlp(self.num_heads, name="cpb_mlp")(table)
-        bias_table = bias_table.reshape(-1, self.num_heads)
+    def bias(self, table, index):
+        """(heads, N1, N2) continuous position bias."""
+        bias_table = self.cpb_mlp(table).reshape(-1, self.num_heads)
         N1, N2 = index.shape
-        bias = bias_table[index.reshape(-1)].reshape(N1, N2, self.num_heads)
-        bias = 16.0 * jax.nn.sigmoid(bias)
-        attn = attn + bias.transpose(2, 0, 1)[None, None]
+        b = bias_table[index.reshape(-1)].reshape(N1, N2, self.num_heads)
+        return (16.0 * jax.nn.sigmoid(b)).transpose(2, 0, 1)
 
+    def __call__(self, attn, table, index, mask):
+        scale = jnp.exp(jnp.minimum(self.logit_scale, math.log(1.0 / 0.01)))
+        attn = attn * scale  # (heads,1,1) broadcasts over (B,nW,heads,N1,N2)
+        attn = attn + self.bias(table, index)[None, None]
         if mask is not None:
             attn = attn + mask[None, :, None, :, :]
         return attn
@@ -163,12 +177,18 @@ def _l2_normalize(x, eps=1e-12):
     return x / jnp.maximum(n, eps)
 
 
-def cosine_attention(q, k, v, transform: Callable, table, index, mask,
-                     euclidean_dist: bool = False):
+def cosine_attention(q, k, v, transform, table, index, mask,
+                     euclidean_dist: bool = False, use_pallas: bool = False):
     """Shared attention core (mixed_attn_block_efficient.py:77-94).
 
     q: (B, nW, heads, N1, d); k, v: (B, nW, heads, N2, d) -> (B, nW, heads, N1, d).
+    use_pallas routes through the fused VMEM kernel (inference path).
     """
+    if use_pallas and not euclidean_dist:
+        from grlir.ops.pallas.attention import fused_cosine_attention
+
+        return fused_cosine_attention(
+            q, k, v, transform.logit_scale, transform.bias(table, index), mask)
     if euclidean_dist:
         attn = jnp.linalg.norm(q[..., :, None, :] - k[..., None, :, :], axis=-1)
     else:
@@ -180,8 +200,9 @@ def cosine_attention(q, k, v, transform: Callable, table, index, mask,
         )
     attn = transform(attn, table, index, mask)
     attn = jax.nn.softmax(attn, axis=-1)
-    return jnp.einsum("...nm,...md->...nd", attn, v,
-                      preferred_element_type=jnp.float32)
+    out = jnp.einsum("...nm,...md->...nd", attn, v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(v.dtype)
 
 
 def _split_heads(x, num_heads):
@@ -215,6 +236,7 @@ class WindowAttention(nn.Module):
     num_heads: int
     window_shift: bool
     euclidean_dist: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, qkv, table, index, mask):
@@ -231,7 +253,7 @@ class WindowAttention(nn.Module):
         transform = AffineTransform(self.num_heads, name="attn_transform")
         x = cosine_attention(q, k, v, transform, table, index,
                              mask if self.window_shift else None,
-                             self.euclidean_dist)
+                             self.euclidean_dist, self.use_pallas)
 
         x = _merge_heads(x)
         x = window_reverse(x, self.window_size, (H, W))
@@ -255,6 +277,7 @@ class AnchorStripeAttention(nn.Module):
     num_heads: int
     anchor_window_down_factor: int
     euclidean_dist: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, qkv, anchor, table, index_a2w, index_w2a, mask_a2w, mask_w2a):
@@ -284,10 +307,42 @@ class AnchorStripeAttention(nn.Module):
         m_w2a = mask_w2a if self.stripe_shift else None
 
         x = cosine_attention(a, k, v, t1, table, index_a2w, m_a2w,
-                             self.euclidean_dist)
+                             self.euclidean_dist, self.use_pallas)
         x = cosine_attention(q, a, x, t2, table, index_w2a, m_w2a,
-                             self.euclidean_dist)
+                             self.euclidean_dist, self.use_pallas)
 
+        x = _merge_heads(x)
+        x = window_reverse(x, stripe_size, (H, W))
+        if self.stripe_shift:
+            x = jnp.roll(x, shift_size, axis=(1, 2))
+        return x
+
+
+class StripeAttention(nn.Module):
+    """Plain (anchor-free) stripe attention — the ablation path used when
+    anchor_window_down_factor == 1 (mixed_attn_block.py:405-509).  Direct QKV
+    attention within each stripe; geometry entries are the df=1 tables/masks."""
+
+    stripe_size_cfg: Tuple[Optional[int], Optional[int]]
+    stripe_groups_cfg: Tuple[Optional[int], Optional[int]]
+    stripe_shift: bool
+    num_heads: int
+    euclidean_dist: bool = False
+
+    @nn.compact
+    def __call__(self, qkv, table, index, mask):
+        B, H, W, _ = qkv.shape
+        stripe_size, shift_size = get_stripe_info(
+            self.stripe_size_cfg, self.stripe_groups_cfg, self.stripe_shift, (H, W)
+        )
+        if self.stripe_shift:
+            qkv = jnp.roll(qkv, (-shift_size[0], -shift_size[1]), axis=(1, 2))
+        qkv = window_partition(qkv, stripe_size)
+        q, k, v = _split_qkv_heads(qkv, self.num_heads)
+        transform = AffineTransform(self.num_heads, name="attn_transform")
+        x = cosine_attention(q, k, v, transform, table, index,
+                             mask if self.stripe_shift else None,
+                             self.euclidean_dist)
         x = _merge_heads(x)
         x = window_reverse(x, stripe_size, (H, W))
         if self.stripe_shift:
@@ -303,17 +358,18 @@ class SeparableConv(nn.Module):
     strides: int = 1
     use_bias: bool = True
     act: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
         k = (self.kernel_size, self.kernel_size)
         x = conv2d(x, in_ch, k, (self.strides, self.strides), self.use_bias,
-                   groups=in_ch, name="depthwise")
+                   groups=in_ch, name="depthwise", dtype=self.dtype)
         if self.act:
             x = gelu(x)
         return conv2d(x, self.features, (1, 1), use_bias=self.use_bias,
-                      name="pointwise")
+                      name="pointwise", dtype=self.dtype)
 
 
 class QKVProjection(nn.Module):
@@ -323,13 +379,16 @@ class QKVProjection(nn.Module):
     qkv_bias: bool = True
     proj_type: str = "linear"
     separable_conv_act: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         if self.proj_type == "linear":
-            return dense(x, self.dim * 3, use_bias=self.qkv_bias, name="body")
+            return dense(x, self.dim * 3, use_bias=self.qkv_bias, name="body",
+                         dtype=self.dtype)
         return SeparableConv(self.dim * 3, 3, 1, self.qkv_bias,
-                             self.separable_conv_act, name="body")(x)
+                             self.separable_conv_act, dtype=self.dtype,
+                             name="body")(x)
 
 
 class PatchMerging(nn.Module):
@@ -356,6 +415,7 @@ class AnchorProjection(nn.Module):
     one_stage: bool = True
     down_factor: int = 4
     separable_conv_act: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -365,13 +425,15 @@ class AnchorProjection(nn.Module):
             if self.proj_type in ("avgpool", "maxpool"):
                 pool = nn.avg_pool if self.proj_type == "avgpool" else nn.max_pool
                 x = pool(x, (df, df), strides=(df, df))
-                return dense(x, out, name="reduction")
+                return dense(x, out, name="reduction", dtype=self.dtype)
             if self.proj_type == "conv2d":
                 k = df + 1
-                return conv2d(x, out, (k, k), (df, df), name="body")
+                return conv2d(x, out, (k, k), (df, df), name="body",
+                              dtype=self.dtype)
             if self.proj_type == "separable_conv":
                 return SeparableConv(out, df + 1, df, True,
-                                     self.separable_conv_act, name="body")(x)
+                                     self.separable_conv_act,
+                                     dtype=self.dtype, name="body")(x)
             if self.proj_type == "patchmerging":
                 return PatchMerging(out, name="body")(x)
             raise ValueError(self.proj_type)
@@ -392,14 +454,15 @@ class ChannelAttention(nn.Module):
     """RCAN squeeze-excite (mixed_attn_block.py:948-967)."""
 
     reduction: int = 16
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         C = x.shape[-1]
         y = jnp.mean(x, axis=(1, 2), keepdims=True)
-        y = conv2d(y, C // self.reduction, (1, 1), name="fc1")
+        y = conv2d(y, C // self.reduction, (1, 1), name="fc1", dtype=self.dtype)
         y = nn.relu(y)
-        y = conv2d(y, C, (1, 1), name="fc2")
+        y = conv2d(y, C, (1, 1), name="fc2", dtype=self.dtype)
         return x * jax.nn.sigmoid(y)
 
 
@@ -408,14 +471,16 @@ class CAB(nn.Module):
 
     compress_ratio: int = 4
     reduction: int = 18
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         C = x.shape[-1]
-        y = conv2d(x, C // self.compress_ratio, (3, 3), name="cab0")
+        y = conv2d(x, C // self.compress_ratio, (3, 3), name="cab0",
+                   dtype=self.dtype)
         y = gelu(y)
-        y = conv2d(y, C, (3, 3), name="cab2")
-        return ChannelAttention(self.reduction, name="ca")(y)
+        y = conv2d(y, C, (3, 3), name="cab2", dtype=self.dtype)
+        return ChannelAttention(self.reduction, dtype=self.dtype, name="ca")(y)
 
 
 class MixedAttention(nn.Module):
@@ -441,32 +506,57 @@ class MixedAttention(nn.Module):
     anchor_window_down_factor: int = 1
     separable_conv_act: bool = True
     euclidean_dist: bool = False
+    # ablation switches (mixed_attn_block.py:846-891): stripe half as a second
+    # window attention / square stripes; anchor is dropped when df == 1 like the
+    # ablation MixedAttention (mixed_attn_block.py:826-838)
+    double_window: bool = False
+    stripe_square: bool = False
+    use_pallas: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, tim):
         # x: (B, H, W, C); tim: per-block table/index/mask dict
+        use_anchor = self.anchor_window_down_factor > 1
         qkv = QKVProjection(self.dim, self.qkv_bias, self.qkv_proj_type,
-                            self.separable_conv_act, name="qkv")(x)
+                            self.separable_conv_act, dtype=self.dtype,
+                            name="qkv")(x)
         qkv_window, qkv_stripe = jnp.split(qkv, 2, axis=-1)
-        anchor = AnchorProjection(self.dim, self.anchor_proj_type,
-                                  self.anchor_one_stage,
-                                  self.anchor_window_down_factor,
-                                  self.separable_conv_act, name="anchor")(x)
 
         x_window = WindowAttention(
             self.window_size, self.num_heads_w, self.window_shift,
-            self.euclidean_dist, name="window_attn",
+            self.euclidean_dist, self.use_pallas, name="window_attn",
         )(qkv_window, tim["table_w"], tim["index_w"], tim["mask_w"])
 
-        x_stripe = AnchorStripeAttention(
-            self.stripe_size_cfg, self.stripe_groups_cfg, self.stripe_shift,
-            self.num_heads_s, self.anchor_window_down_factor,
-            self.euclidean_dist, name="stripe_attn",
-        )(qkv_stripe, anchor, tim["table_s"], tim["index_a2w"], tim["index_w2a"],
-          tim["mask_a2w"], tim["mask_w2a"])
+        if self.double_window:
+            x_stripe = WindowAttention(
+                self.window_size, self.num_heads_w, self.window_shift,
+                self.euclidean_dist, name="stripe_attn",
+            )(qkv_stripe, tim["table_w"], tim["index_w"], tim["mask_w"])
+        elif use_anchor:
+            anchor = AnchorProjection(self.dim, self.anchor_proj_type,
+                                      self.anchor_one_stage,
+                                      self.anchor_window_down_factor,
+                                      self.separable_conv_act, dtype=self.dtype,
+                                      name="anchor")(x)
+            x_stripe = AnchorStripeAttention(
+                self.stripe_size_cfg, self.stripe_groups_cfg, self.stripe_shift,
+                self.num_heads_s, self.anchor_window_down_factor,
+                self.euclidean_dist, self.use_pallas, name="stripe_attn",
+            )(qkv_stripe, anchor, tim["table_s"], tim["index_a2w"],
+              tim["index_w2a"], tim["mask_a2w"], tim["mask_w2a"])
+        else:
+            ssize = (tuple(self.window_size) if self.stripe_square
+                     else self.stripe_size_cfg)
+            sgroups = ((None, None) if self.stripe_square
+                       else self.stripe_groups_cfg)
+            x_stripe = StripeAttention(
+                ssize, sgroups, self.stripe_shift, self.num_heads_s,
+                self.euclidean_dist, name="stripe_attn",
+            )(qkv_stripe, tim["table_s"], tim["index_w2a"], tim["mask_w2a"])
 
         x = jnp.concatenate([x_window, x_stripe], axis=-1)
-        return dense(x, self.dim, name="proj")
+        return dense(x, self.dim, name="proj", dtype=self.dtype)
 
 
 class EfficientMixAttnTransformerBlock(nn.Module):
@@ -493,8 +583,12 @@ class EfficientMixAttnTransformerBlock(nn.Module):
     local_connection: bool = False
     separable_conv_act: bool = True
     euclidean_dist: bool = False
+    double_window: bool = False
+    stripe_square: bool = False
+    use_pallas: bool = False
     # static attribute (not a call arg) so nn.remat needs no static_argnums
     deterministic: bool = True
+    dtype: object = None
 
     def _select_tim(self, g):
         """Pick this block's slice of the shared geometry dict (efficient block
@@ -527,7 +621,8 @@ class EfficientMixAttnTransformerBlock(nn.Module):
             self.window_shift, ssize, sgroups, self.stripe_shift, self.qkv_bias,
             self.qkv_proj_type, self.anchor_proj_type, self.anchor_one_stage,
             self.anchor_window_down_factor, self.separable_conv_act,
-            self.euclidean_dist, name="attn",
+            self.euclidean_dist, self.double_window, self.stripe_square,
+            self.use_pallas, dtype=self.dtype, name="attn",
         )
 
         def dp(y):
@@ -537,9 +632,10 @@ class EfficientMixAttnTransformerBlock(nn.Module):
 
         branch = self.res_scale * dp(layer_norm(attn(x, tim), name="norm1"))
         if self.local_connection:
-            branch = branch + CAB(name="conv")(x)
+            branch = branch + CAB(dtype=self.dtype, name="conv")(x)
         x = x + branch
         x = x + self.res_scale * dp(
-            layer_norm(Mlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(x),
+            layer_norm(Mlp(int(self.dim * self.mlp_ratio), self.dim,
+                           dtype=self.dtype, name="mlp")(x),
                        name="norm2"))
         return x

@@ -63,12 +63,22 @@ class GRLConfig:
     init_method: str = "n"
     separable_conv_act: bool = True
     euclidean_dist: bool = False
+    double_window: bool = False
+    stripe_square: bool = False
+    # fused Pallas attention kernels (forward/inference path; TPU only)
+    use_pallas_attention: bool = False
     num_out_feats: int = 64
     remat: bool = False  # jax.checkpoint each transformer block
+    # computation dtype ("float32" | "bfloat16"); params always float32
+    dtype: str = "float32"
 
     @property
     def resolved_out_channels(self) -> int:
         return self.out_channels or self.in_channels
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
 
     @property
     def geometry_config(self) -> GeometryConfig:
@@ -97,26 +107,27 @@ class LastConv3(nn.Module):
     """3conv variant of the pre-residual conv block (swin_v1_block.py:471-479)."""
 
     dim: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        x = conv2d(x, self.dim // 4, (3, 3), name="conv1")
+        x = conv2d(x, self.dim // 4, (3, 3), name="conv1", dtype=self.dtype)
         x = nn.leaky_relu(x, 0.2)
-        x = conv2d(x, self.dim // 4, (1, 1), name="conv2")
+        x = conv2d(x, self.dim // 4, (1, 1), name="conv2", dtype=self.dtype)
         x = nn.leaky_relu(x, 0.2)
-        return conv2d(x, self.dim, (3, 3), name="conv3")
+        return conv2d(x, self.dim, (3, 3), name="conv3", dtype=self.dtype)
 
 
-def last_conv(x, conv_type: str, dim: int, *, name: str):
+def last_conv(x, conv_type: str, dim: int, *, name: str, dtype=None):
     """Conv block before residual connection (swin_v1_block.py:469-485)."""
     if conv_type == "1conv":
-        return conv2d(x, dim, (3, 3), name=name)
+        return conv2d(x, dim, (3, 3), name=name, dtype=dtype)
     if conv_type == "1conv1x1":
-        return conv2d(x, dim, (1, 1), name=name)
+        return conv2d(x, dim, (1, 1), name=name, dtype=dtype)
     if conv_type == "linear":
-        return dense(x, dim, name=name)
+        return dense(x, dim, name=name, dtype=dtype)
     if conv_type == "3conv":
-        return LastConv3(dim, name=name)(x)
+        return LastConv3(dim, dtype=dtype, name=name)(x)
     raise ValueError(conv_type)
 
 
@@ -164,11 +175,16 @@ class TransformerStage(nn.Module):
                 local_connection=cfg.local_connection,
                 separable_conv_act=cfg.separable_conv_act,
                 euclidean_dist=cfg.euclidean_dist,
+                double_window=cfg.double_window,
+                stripe_square=cfg.stripe_square,
+                use_pallas=cfg.use_pallas_attention,
                 deterministic=deterministic,
+                dtype=cfg.compute_dtype,
                 name=f"blocks_{i}",
             )
             res = block(res, geometry)
-        res = last_conv(res, cfg.conv_type, cfg.embed_dim, name="conv")
+        res = last_conv(res, cfg.conv_type, cfg.embed_dim, name="conv",
+                        dtype=cfg.compute_dtype)
         return res + x
 
 
@@ -209,53 +225,54 @@ class GRL(nn.Module):
 
         def body(feat):
             return last_conv(features(feat), cfg.conv_type, cfg.embed_dim,
-                             name="conv_after_body") + feat
+                             name="conv_after_body",
+                             dtype=cfg.compute_dtype) + feat
 
         out_ch = cfg.resolved_out_channels
         nf = cfg.num_out_feats
 
         if cfg.upsampler == "pixelshuffle":
-            x = conv2d(x, cfg.embed_dim, name="conv_first")
+            x = conv2d(x, cfg.embed_dim, name="conv_first", dtype=cfg.compute_dtype)
             x = body(x)
-            x = nn.leaky_relu(conv2d(x, nf, name="conv_before_upsample"), 0.01)
+            x = nn.leaky_relu(conv2d(x, nf, name="conv_before_upsample", dtype=cfg.compute_dtype), 0.01)
             # Upsample: conv+shuffle per factor-2 step (upsample.py:6-30)
             scale = cfg.upscale
             if (scale & (scale - 1)) == 0:
                 for i in range(int(math.log2(scale))):
-                    x = conv2d(x, 4 * nf, name=f"upsample_{i}")
+                    x = conv2d(x, 4 * nf, name=f"upsample_{i}", dtype=cfg.compute_dtype)
                     x = pixel_shuffle(x, 2)
             elif scale == 3:
-                x = conv2d(x, 9 * nf, name="upsample_0")
+                x = conv2d(x, 9 * nf, name="upsample_0", dtype=cfg.compute_dtype)
                 x = pixel_shuffle(x, 3)
             else:
                 raise ValueError(f"unsupported scale {scale}")
-            x = conv2d(x, out_ch, name="conv_last")
+            x = conv2d(x, out_ch, name="conv_last", dtype=cfg.compute_dtype)
         elif cfg.upsampler == "pixelshuffledirect":
-            x = conv2d(x, cfg.embed_dim, name="conv_first")
+            x = conv2d(x, cfg.embed_dim, name="conv_first", dtype=cfg.compute_dtype)
             x = body(x)
-            x = conv2d(x, cfg.upscale**2 * out_ch, name="upsample_0")
+            x = conv2d(x, cfg.upscale**2 * out_ch, name="upsample_0", dtype=cfg.compute_dtype)
             x = pixel_shuffle(x, cfg.upscale)
         elif cfg.upsampler == "nearest+conv":
             assert cfg.upscale == 4, "nearest+conv tail supports x4 only"
-            x = conv2d(x, cfg.embed_dim, name="conv_first")
+            x = conv2d(x, cfg.embed_dim, name="conv_first", dtype=cfg.compute_dtype)
             x = body(x)
-            x = nn.leaky_relu(conv2d(x, nf, name="conv_before_upsample"), 0.01)
+            x = nn.leaky_relu(conv2d(x, nf, name="conv_before_upsample", dtype=cfg.compute_dtype), 0.01)
             x = nn.leaky_relu(
-                conv2d(nearest_upsample(x, 2), nf, name="conv_up1"), 0.2)
+                conv2d(nearest_upsample(x, 2), nf, name="conv_up1", dtype=cfg.compute_dtype), 0.2)
             x = nn.leaky_relu(
-                conv2d(nearest_upsample(x, 2), nf, name="conv_up2"), 0.2)
+                conv2d(nearest_upsample(x, 2), nf, name="conv_up2", dtype=cfg.compute_dtype), 0.2)
             x = conv2d(
-                nn.leaky_relu(conv2d(x, nf, name="conv_hr"), 0.2),
+                nn.leaky_relu(conv2d(x, nf, name="conv_hr", dtype=cfg.compute_dtype), 0.2),
                 out_ch, name="conv_last")
         else:
             # denoising / JPEG artifact removal tail (grl.py:540-547)
-            res = body(conv2d(x, cfg.embed_dim, name="conv_first"))
+            res = body(conv2d(x, cfg.embed_dim, name="conv_first", dtype=cfg.compute_dtype))
             if cfg.in_channels == out_ch:
-                x = x + conv2d(res, out_ch, name="conv_last")
+                x = x + conv2d(res, out_ch, name="conv_last", dtype=cfg.compute_dtype)
             else:
-                x = conv2d(res, out_ch, name="conv_last")
+                x = conv2d(res, out_ch, name="conv_last", dtype=cfg.compute_dtype)
 
-        x = x / cfg.img_range + mean
+        x = x.astype(jnp.float32) / cfg.img_range + mean.astype(jnp.float32)
         return x[:, : H * cfg.upscale, : W * cfg.upscale, :]
 
 

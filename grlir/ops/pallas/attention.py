@@ -1,0 +1,133 @@
+"""Fused cosine-similarity window/stripe attention (Pallas TPU kernel).
+
+The XLA path materializes every attention matrix in HBM (QK^T write, bias+mask+
+softmax read/write, AV read) — for GRL at 256px that's the dominant memory
+traffic on a bandwidth-bound model.  This kernel keeps the whole chain
+  L2-normalize -> QK^T -> *logit_scale + CPB-bias (+shift mask) -> softmax -> AV
+in VMEM, grid-stepping over blocks of windows.  Window token counts in GRL are
+tiny (64 for 8x8 windows, ~512 for stripes), so no online-softmax tiling is
+needed — a whole (N1, N2) attention matrix per window-head fits comfortably.
+
+Used for both attention patterns (SURVEY.md §7 Pallas kernels #1/#2):
+  - square window attention: N1 == N2 == wh*ww
+  - anchored stripe attention: called twice (anchor->window then window->anchor)
+
+Forward-only (inference path); training uses the XLA lowering.  Gated by
+GRLConfig.use_pallas_attention and auto-disabled off-TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attention_kernel(q_ref, k_ref, v_ref, scale_ref, bias_ref,
+                      *mask_and_out, has_mask: bool, windows_per_mask: int):
+    # ref order: inputs..., then outputs — mask (if any) precedes out_ref
+    if has_mask:
+        mask_ref, out_ref = mask_and_out
+    else:
+        (out_ref,) = mask_and_out
+    # q: (G, h, N1, d); k, v: (G, h, N2, d); bias: (h, N1, N2); scale: (h, 1)
+    q = q_ref[...].astype(jnp.float32)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+
+    qn = q * jax.lax.rsqrt(jnp.maximum(jnp.sum(q * q, -1, keepdims=True), 1e-24))
+    kn = k * jax.lax.rsqrt(jnp.maximum(jnp.sum(k * k, -1, keepdims=True), 1e-24))
+
+    attn = jax.lax.dot_general(
+        qn, kn,
+        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )  # (G, h, N1, N2)
+
+    scale = scale_ref[...].reshape(1, -1, 1, 1)
+    attn = attn * scale + bias_ref[...][None]
+
+    if has_mask:
+        # mask block (G, N1, N2), pre-expanded across batch outside the kernel
+        attn = attn + mask_ref[...][:, None]
+
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jax.lax.dot_general(
+        attn, v,
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
+def fused_cosine_attention(q, k, v, logit_scale, bias,
+                           mask: Optional[jnp.ndarray] = None,
+                           block_windows: int = 32,
+                           interpret: Optional[bool] = None):
+    if interpret is None:
+        # Mosaic kernels only compile for TPU; fall back to the interpreter on
+        # CPU (tests / virtual meshes) so the flag is usable everywhere
+        interpret = jax.default_backend() != "tpu"
+    """q: (B, nW, h, N1, d); k, v: (B, nW, h, N2, d);
+    logit_scale: (h, 1, 1) raw parameter (clamped+exp inside);
+    bias: (h, N1, N2) fp32 (already 16*sigmoid(cpb));
+    mask: (nW, N1, N2) or None.  Returns (B, nW, h, N1, d).
+    """
+    B, nW, h, N1, d = q.shape
+    N2 = k.shape[3]
+    W = B * nW
+    qf = q.reshape(W, h, N1, d)
+    kf = k.reshape(W, h, N2, d)
+    vf = v.reshape(W, h, N2, d)
+
+    G = math.gcd(W, block_windows) if W % block_windows else block_windows
+    grid = (W // G,)
+
+    scale = jnp.exp(jnp.minimum(logit_scale, math.log(100.0))).reshape(h, 1)
+
+    in_specs = [
+        pl.BlockSpec((G, h, N1, d), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, h, N2, d), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, h, N2, d), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, N1, N2), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [qf, kf, vf, scale, bias.astype(jnp.float32)]
+    has_mask = mask is not None
+    if has_mask:
+        # expand per-window masks across batch once (small: nW*N1*N2)
+        mask_full = jnp.broadcast_to(mask[None], (B, nW, N1, N2)).reshape(
+            W, N1, N2)
+        in_specs.append(
+            pl.BlockSpec((G, N1, N2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM))
+        args.append(mask_full.astype(jnp.float32))
+
+    kernel = functools.partial(_attention_kernel, has_mask=has_mask,
+                               windows_per_mask=nW)
+    flops = 2 * W * h * N1 * N2 * d * 2
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((G, h, N1, d), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((W, h, N1, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(qf.size + kf.size + vf.size) * q.dtype.itemsize,
+            transcendentals=W * h * N1 * N2,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out.reshape(B, nW, h, N1, d)

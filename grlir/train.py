@@ -1,0 +1,194 @@
+"""Training/eval entry point: `python -m grlir.train experiment=... key=value ...`.
+
+Equivalent of the reference runner (tools/trainer.py:34-191): compose config,
+build data module(s), model and engine, handle the three checkpoint load paths
+(orbax resume / torch state_dict via converter / pretrained), run the step-based
+training loop with periodic validation + best/last checkpointing, and finish
+with a full multi-set validation written to CSV.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+import sys
+import time
+from dataclasses import fields as dc_fields
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def build_model_config(cfg: dict):
+    """cfg['model'] (+ global dtype/remat) -> GRLConfig."""
+    from grlir.models.grl import GRLConfig
+
+    known = {f.name for f in dc_fields(GRLConfig)}
+    m = {k: v for k, v in cfg["model"].items() if k in known}
+    for seq_key in ("depths", "num_heads_window", "num_heads_stripe",
+                    "stripe_size", "stripe_groups"):
+        if seq_key in m:
+            m[seq_key] = tuple(m[seq_key])
+    m["dtype"] = cfg.get("dtype", "float32")
+    m["remat"] = cfg.get("remat", False)
+    return GRLConfig(**m)
+
+
+def load_pretrained(params_template, path: str):
+    """Torch .ckpt/.pth -> flax params (tools/trainer.py:91-115 load path)."""
+    from grlir.utils import convert as C
+
+    sd = C.load_torch_checkpoint(path)
+    for prefix in ("model.", "model_g.", ""):
+        stripped = C.strip_prefix(sd, prefix)
+        if stripped:
+            try:
+                return C.convert_torch_state_dict(stripped, params_template)
+            except KeyError:
+                continue
+    raise KeyError(f"could not match {path} against the model parameter tree")
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    from grlir.configs import load_config
+    from grlir.data.module import IRDataModule
+    from grlir.engines.inference import Restorer
+    from grlir.engines.preprocess import make_train_preprocess
+    from grlir.engines.train import create_state, make_eval_step, make_train_step
+    from grlir.engines.validate import validate, write_results_csv
+    from grlir.models.grl import GRL, param_count
+    from grlir.optim import build_optimizer, current_lr
+    from grlir.optim.schedules import SCHEDULES
+    from grlir.parallel.mesh import make_mesh, shard_batch
+    from grlir.utils.checkpoint import CheckpointManager
+    from grlir.data import degradations as D
+
+    cfg = load_config(argv if argv is not None else sys.argv[1:])
+    seed = cfg.get("seed", 1234)
+    task = cfg["data_module"]["name"]
+    if task == "paired" and cfg["data_module"].get("dual_pixel"):
+        task = "paired_dual"
+
+    out_dir = osp.expanduser(
+        osp.join(cfg["io"]["base_output_path"], cfg["tag"],
+                 f"version_{cfg['io']['version']}"))
+    os.makedirs(out_dir, exist_ok=True)
+    print(f"[grlir] output: {out_dir}")
+
+    # ---- model
+    mcfg = build_model_config(cfg)
+    model = GRL(mcfg)
+    patch = cfg["patch_size"]
+    in_hw = patch
+    example = jnp.zeros((1, in_hw, in_hw, mcfg.in_channels), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(seed), example)
+    print(f"[grlir] model {cfg['model'].get('name')} "
+          f"params={param_count(params)/1e6:.3f}M dtype={mcfg.dtype}")
+
+    if cfg.get("pretrained_checkpoint"):
+        template = jax.eval_shape(lambda: params)
+        params = load_pretrained(template, cfg["pretrained_checkpoint"])
+        print(f"[grlir] loaded pretrained {cfg['pretrained_checkpoint']}")
+
+    # ---- data
+    dm = IRDataModule(cfg["data_module"], seed=seed)
+    scale = int(cfg["data_module"].get("scale", 1))
+    blur_kernel = (D.get_blur_kernel(cfg["data_module"].get("kernel_type",
+                                                            "gaussian"))
+                   if task == "db" else None)
+
+    # ---- optimizer + schedule
+    opt_cfg = cfg["optimizer"]
+    sch_cfg = dict(cfg["lr_scheduler"])
+    sch_name = sch_cfg.pop("name")
+    base_lr = opt_cfg["lr"]
+    schedule = SCHEDULES[sch_name](base_lr, **sch_cfg)
+    optimizer = build_optimizer(
+        opt_cfg["name"], schedule=schedule,
+        betas=tuple(opt_cfg.get("betas", (0.9, 0.999))),
+        weight_decay=opt_cfg.get("weight_decay", 1e-2),
+    )
+
+    mesh = make_mesh(cfg.get("num_devices"))
+    state = create_state(params, optimizer)
+    preprocess = make_train_preprocess(
+        task, blur_kernel, cfg.get("mixup", False), scale)
+    train_step = make_train_step(model, optimizer, cfg["loss"], mesh=mesh,
+                                 preprocess=preprocess)
+    eval_apply = lambda p, x: model.apply(p, x)
+
+    ckpt = CheckpointManager(
+        osp.join(out_dir, "checkpoints"),
+        monitor=cfg["model_checkpoint"]["monitor"],
+        mode=cfg["model_checkpoint"]["mode"],
+        save_top_k=cfg["model_checkpoint"]["save_top_k"],
+    )
+    if cfg.get("resume", True) and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        print(f"[grlir] resumed from step {int(state.step)}")
+
+    metric_names = cfg["metric"]["val"]
+
+    def run_validation(step: int) -> Dict[str, float]:
+        restorer = Restorer(eval_apply, state.params, scale=scale,
+                            tile=cfg.get("tile", 0),
+                            tile_overlap=cfg.get("tile_overlap", 0))
+        all_results = {}
+        for name, loader in dm.val_loaders(num_workers=cfg.get("num_workers", 2)).items():
+            res = validate(
+                restorer, loader, metric_names, task, scale, blur_kernel,
+                save_dir=osp.join(out_dir, "images", name)
+                if cfg.get("save_images") else None,
+                gather_across_hosts=jax.process_count() > 1,
+            )
+            all_results[name] = res
+            write_results_csv(osp.join(out_dir, "results.csv"), cfg["tag"],
+                              name, res, step)
+            line = " ".join(f"{k}={v:.4f}" for k, v in res.items())
+            print(f"[grlir] step {step} val[{name}]: {line}")
+        return all_results
+
+    if not cfg.get("training", True):
+        run_validation(int(state.step))
+        return
+
+    # ---- training loop
+    max_steps = int(cfg["trainer"]["max_steps"])
+    log_every = int(cfg["trainer"].get("log_every_n_steps", 50))
+    val_every = int(cfg["trainer"].get("val_check_interval", 5000))
+    loader = dm.train_loader(cfg["batch_size"],
+                             num_workers=cfg.get("num_workers", 2))
+    stream = loader.infinite()
+    key = jax.random.PRNGKey(seed)
+    t0 = time.time()
+    start_step = int(state.step)
+
+    for step in range(start_step, max_steps):
+        batch = next(stream)
+        batch = {k: v for k, v in batch.items() if not isinstance(v, list)}
+        batch = shard_batch(batch, mesh)
+        key, sub = jax.random.split(key)
+        state, metrics = train_step(state, batch, sub)
+
+        if (step + 1) % log_every == 0:
+            loss = float(metrics["loss"])
+            rate = (step + 1 - start_step) / (time.time() - t0)
+            print(f"[grlir] step {step+1}/{max_steps} loss={loss:.4f} "
+                  f"lr={current_lr(state.opt_state):.2e} {rate:.2f} it/s")
+
+        if (step + 1) % val_every == 0 or (step + 1) == max_steps:
+            results = run_validation(step + 1)
+            first = next(iter(results.values())) if results else {}
+            ckpt.save(step + 1, jax.device_get(state),
+                      {k: v for k, v in first.items()})
+
+    ckpt.close()
+    print("[grlir] done")
+
+
+if __name__ == "__main__":
+    main()

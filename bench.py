@@ -20,13 +20,20 @@ import numpy as np
 
 
 def bench_jax(hw: int, bs: int, iters: int) -> float:
+    from dataclasses import replace
+
     import jax
     import jax.numpy as jnp
 
     from grlir.models import zoo
     from grlir.models.grl import GRL
 
-    model = GRL(zoo.GRL_SMALL)
+    cfg = zoo.GRL_SMALL
+    if os.environ.get("GRLIR_BENCH_DTYPE"):
+        cfg = replace(cfg, dtype=os.environ["GRLIR_BENCH_DTYPE"])
+    if os.environ.get("GRLIR_BENCH_PALLAS", "0") == "1":
+        cfg = replace(cfg, use_pallas_attention=True)
+    model = GRL(cfg)
     x = jnp.asarray(np.random.default_rng(0).random((bs, hw, hw, 3)), jnp.float32)
     # init must run under jit: unjitted init is minutes-slow over the TPU tunnel
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
@@ -35,7 +42,7 @@ def bench_jax(hw: int, bs: int, iters: int) -> float:
     # (it returns ~0.3ms for an 89ms program) and fetching the full image is
     # transfer-dominated.  A scalar fetch forces completion at negligible
     # transfer cost, so the measurement is honest device time (+small RTT).
-    fwd = jax.jit(lambda p, v: jnp.sum(model.apply(p, v)))
+    fwd = jax.jit(lambda p, v: jnp.sum(model.apply(p, v).astype(jnp.float32)))
 
     float(fwd(params, x))  # compile + warmup
     float(fwd(params, x))

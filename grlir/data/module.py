@@ -34,14 +34,14 @@ def _bsr_dataset():
     return BSRDataset
 
 
-def task_config(name: str, section: dict, extra: Optional[dict] = None) -> TaskConfig:
-    """Build a TaskConfig from a config-tree section, ignoring unknown keys."""
+def task_config(name: str, shared: dict, section: dict,
+                extra: Optional[dict] = None) -> TaskConfig:
+    """Build a TaskConfig: shared data_module scalars are inherited by the
+    train/val section; section and extra override."""
     known = {f.name for f in fields(TaskConfig)}
-    merged = {"name": name, **{k: v for k, v in section.items() if k in known}}
-    if extra:
-        merged.update({k: v for k, v in extra.items() if k in known})
-    if "patch_size" not in merged and "lr_patch_size" in section:
-        merged["patch_size"] = section["lr_patch_size"]
+    merged = {"name": name}
+    for src in (shared, section, extra or {}):
+        merged.update({k: v for k, v in src.items() if k in known})
     return TaskConfig(**merged)
 
 
@@ -54,7 +54,9 @@ class IRDataModule:
         # bsr validates on synthetic SR pairs (ir_data_module.py:54-57)
         val_cls = SRDataset if self.name == "bsr" else ds_cls
 
-        self.train_cfg = task_config(self.name, cfg.get("train", {}))
+        shared = {k: v for k, v in cfg.items()
+                  if k not in ("train", "val", "test", "name")}
+        self.train_cfg = task_config(self.name, shared, cfg.get("train", {}))
         self.train_dataset = ds_cls(self.train_cfg, TRAIN, num_train_samples)
 
         self.val_datasets = {}
@@ -64,7 +66,7 @@ class IRDataModule:
                 continue
             vc = task_config(
                 "sr" if self.name == "bsr" else self.name,
-                val_section, {"dataset": ds_name},
+                shared, val_section, {"dataset": ds_name},
             )
             self.val_datasets[ds_name] = val_cls(vc, VAL)
 

@@ -50,12 +50,15 @@ def make_train_preprocess(
     use_mixup: bool = False,
     scale: int = 1,
     crop_patch: Optional[int] = None,
+    use_usm_target: bool = False,
 ):
     """Build the (batch, rng) -> (lq, gt) device preprocessing for the task.
 
     crop_patch: if set, randomly re-crop to this (LR) patch size — the
     progressive-training path; the trainer rebuilds the step when the stage
     changes (shape change => new compile, a handful over a run).
+    use_usm_target: PSNR-engine option — train against the USM-sharpened GT
+    when the batch provides one (engines/base_psnr.py:18-43).
     """
 
     def preprocess(batch, rng):
@@ -64,6 +67,8 @@ def make_train_preprocess(
             gt = batch["img_gt"]
         else:
             lq, gt = batch["img_lq"], batch["img_gt"]
+        if use_usm_target and "img_gt_usm" in batch:
+            gt = batch["img_gt_usm"]
 
         if task == "dm":
             lq = D.dm_matlab(lq)

@@ -116,7 +116,9 @@ def main(argv=None):
     mesh = make_mesh(cfg.get("num_devices"))
     state = create_state(params, optimizer)
     preprocess = make_train_preprocess(
-        task, blur_kernel, cfg.get("mixup", False), scale)
+        task, blur_kernel, cfg.get("mixup", False), scale,
+        use_usm_target=cfg.get("engine", {}).get("name") == "base_psnr"
+        and cfg.get("engine", {}).get("use_usm", False))
     train_step = make_train_step(model, optimizer, cfg["loss"], mesh=mesh,
                                  preprocess=preprocess)
     eval_apply = lambda p, x: model.apply(p, x)

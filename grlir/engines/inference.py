@@ -31,8 +31,23 @@ class Restorer:
         tile: int = 0,
         tile_overlap: int = 0,
         tile_batch: int = 1,
+        mesh=None,
     ):
-        self.apply_fn = jax.jit(apply_fn)
+        """mesh: optional jax.sharding.Mesh — tiles are then sharded over the
+        `data` axis so a multi-chip slice restores one large image in parallel
+        (the spatial analogue of sequence parallelism, SURVEY.md §2.7)."""
+        if mesh is not None:
+            from grlir.parallel.mesh import batch_sharding, replicated
+
+            n_dev = mesh.devices.size
+            tile_batch = max(tile_batch, n_dev)
+            self.apply_fn = jax.jit(
+                apply_fn,
+                in_shardings=(replicated(mesh), batch_sharding(mesh)),
+                out_shardings=batch_sharding(mesh),
+            )
+        else:
+            self.apply_fn = jax.jit(apply_fn)
         self.params = params
         self.scale = scale
         self.tile = tile
@@ -66,7 +81,8 @@ class Restorer:
             chunk = patches[s: s + group]
             pad = group - chunk.shape[0]
             if pad:
-                chunk = np.concatenate([chunk, np.zeros_like(chunk[:pad])], 0)
+                zeros = np.zeros((pad, *chunk.shape[1:]), chunk.dtype)
+                chunk = np.concatenate([chunk, zeros], 0)
             y = np.asarray(self.apply_fn(self.params, jnp.asarray(chunk)))
             outs.append(y[: group - pad] if pad else y)
         out_patches = np.concatenate(outs, 0)

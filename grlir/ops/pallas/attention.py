@@ -37,6 +37,8 @@ def _attention_kernel(q_ref, k_ref, v_ref, scale_ref, bias_ref,
     else:
         (out_ref,) = mask_and_out
     # q: (G, h, N1, d); k, v: (G, h, N2, d); bias: (h, N1, N2); scale: (h, 1)
+    G, h, N1, d = q_ref.shape
+    N2 = k_ref.shape[2]
     q = q_ref[...].astype(jnp.float32)
     k = k_ref[...].astype(jnp.float32)
     v = v_ref[...].astype(jnp.float32)
@@ -44,11 +46,14 @@ def _attention_kernel(q_ref, k_ref, v_ref, scale_ref, bias_ref,
     qn = q * jax.lax.rsqrt(jnp.maximum(jnp.sum(q * q, -1, keepdims=True), 1e-24))
     kn = k * jax.lax.rsqrt(jnp.maximum(jnp.sum(k * k, -1, keepdims=True), 1e-24))
 
+    # tpu.matmul supports a single batch dim -> fold (G, h) together
+    qn = qn.reshape(G * h, N1, d)
+    kn = kn.reshape(G * h, N2, d)
     attn = jax.lax.dot_general(
         qn, kn,
-        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # (G, h, N1, N2)
+    ).reshape(G, h, N1, N2)
 
     scale = scale_ref[...].reshape(1, -1, 1, 1)
     attn = attn * scale + bias_ref[...][None]
@@ -59,10 +64,10 @@ def _attention_kernel(q_ref, k_ref, v_ref, scale_ref, bias_ref,
 
     attn = jax.nn.softmax(attn, axis=-1)
     out = jax.lax.dot_general(
-        attn, v,
-        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        attn.reshape(G * h, N1, N2), v.reshape(G * h, N2, d),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )
+    ).reshape(G, h, N1, d)
     out_ref[...] = out.astype(out_ref.dtype)
 
 

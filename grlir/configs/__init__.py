@@ -39,7 +39,14 @@ def _deep_merge(base: dict, overlay: dict) -> dict:
 
 
 def _parse_value(s: str) -> Any:
-    return yaml.safe_load(s)
+    v = yaml.safe_load(s)
+    # YAML 1.1 parses "1e-5" as a string (needs "1.0e-5"); accept it as float
+    if isinstance(v, str):
+        try:
+            return float(v)
+        except ValueError:
+            return v
+    return v
 
 
 def _set_dotted(cfg: dict, dotted: str, value: Any):

@@ -163,11 +163,12 @@ class AffineTransform(nn.Module):
         return (16.0 * jax.nn.sigmoid(b)).transpose(2, 0, 1)
 
     def __call__(self, attn, table, index, mask):
+        # compute in attn's dtype so a bf16 attention matrix stays bf16
         scale = jnp.exp(jnp.minimum(self.logit_scale, math.log(1.0 / 0.01)))
-        attn = attn * scale  # (heads,1,1) broadcasts over (B,nW,heads,N1,N2)
-        attn = attn + self.bias(table, index)[None, None]
+        attn = attn * scale.astype(attn.dtype)
+        attn = attn + self.bias(table, index).astype(attn.dtype)[None, None]
         if mask is not None:
-            attn = attn + mask[None, :, None, :, :]
+            attn = attn + mask.astype(attn.dtype)[None, :, None, :, :]
         return attn
 
 
@@ -198,8 +199,13 @@ def cosine_attention(q, k, v, transform, table, index, mask,
             _l2_normalize(k),
             preferred_element_type=jnp.float32,
         )
+    # Store attention matrices in the compute dtype: under bf16 this halves the
+    # dominant HBM traffic (QK^T out + softmax in/out + AV in).  The matmul
+    # accumulations and the softmax interior stay fp32 (casts fuse into the
+    # surrounding elementwise chain, so no extra memory passes).
+    attn = attn.astype(q.dtype)
     attn = transform(attn, table, index, mask)
-    attn = jax.nn.softmax(attn, axis=-1)
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
     out = jnp.einsum("...nm,...md->...nd", attn, v,
                      preferred_element_type=jnp.float32)
     return out.astype(v.dtype)

@@ -123,6 +123,9 @@ def main(argv=None):
                                  preprocess=preprocess)
     eval_apply = lambda p, x: model.apply(p, x)
 
+    from grlir.utils.profiling import MetricsLogger
+
+    logger = MetricsLogger(osp.join(out_dir, "metrics.jsonl"))
     ckpt = CheckpointManager(
         osp.join(out_dir, "checkpoints"),
         monitor=cfg["model_checkpoint"]["monitor"],
@@ -178,9 +181,11 @@ def main(argv=None):
 
         if (step + 1) % log_every == 0:
             loss = float(metrics["loss"])
+            lr = current_lr(state.opt_state)
             rate = (step + 1 - start_step) / (time.time() - t0)
+            logger.log(step + 1, loss=loss, lr=lr, steps_per_sec=rate)
             print(f"[grlir] step {step+1}/{max_steps} loss={loss:.4f} "
-                  f"lr={current_lr(state.opt_state):.2e} {rate:.2f} it/s")
+                  f"lr={lr:.2e} {rate:.2f} it/s")
 
         if (step + 1) % val_every == 0 or (step + 1) == max_steps:
             results = run_validation(step + 1)
@@ -189,6 +194,12 @@ def main(argv=None):
                       {k: v for k, v in first.items()})
 
     ckpt.close()
+    logger.close()
+    csv_path = osp.join(out_dir, "results.csv")
+    if osp.exists(csv_path):
+        from grlir.utils.report import parse_csv
+
+        print(parse_csv(csv_path))  # final pivot table (utils_train.py:38-101)
     print("[grlir] done")
 
 

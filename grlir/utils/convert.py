@@ -175,3 +175,51 @@ def load_torch_checkpoint(path: str):
     sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
     return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
             for k, v in sd.items()}
+
+
+def convert_unet_discriminator(state_dict: Mapping[str, np.ndarray],
+                               variables) -> dict:
+    """torch UNetDiscriminatorSN state_dict -> flax variables for
+    grlir.models.discriminator.UNetDiscriminatorSN.
+
+    torch spectral_norm stores `weight_orig` + power-iteration vectors
+    `weight_u`/`weight_v`; plain convs (conv0/conv9) store `weight`/`bias`
+    (discriminator.py:92-117).
+    """
+    flat = _flatten(variables)
+    out = {}
+    used = set()
+    for path, value in flat.items():
+        coll, name, leaf = path[0], path[1], path[-1]
+        if coll == "params":
+            if leaf == "kernel":
+                for cand in (f"{name}.weight", f"{name}.weight_orig"):
+                    if cand in state_dict:
+                        break
+                else:
+                    raise KeyError(f"missing {name}.weight[_orig]")
+                arr = np.asarray(state_dict[cand]).transpose(2, 3, 1, 0)
+                used.add(cand)
+            else:
+                arr = np.asarray(state_dict[f"{name}.bias"])
+                used.add(f"{name}.bias")
+        elif coll == "spectral":
+            arr = np.asarray(state_dict[f"{name}.weight_u"])
+            used.add(f"{name}.weight_u")
+        else:
+            raise KeyError(f"unexpected collection {coll}")
+        if tuple(arr.shape) != tuple(value.shape):
+            raise ValueError(f"{path}: {arr.shape} vs {value.shape}")
+        out[path] = arr.astype(value.dtype)
+    return _unflatten(out)
+
+
+def load_gan_checkpoint(path: str, gen_template, disc_variables_template):
+    """Split a GAN checkpoint into generator params + discriminator variables
+    (engines/base_gan.py:48-84 load paths)."""
+    sd = load_torch_checkpoint(path)
+    gen = convert_torch_state_dict(strip_prefix(sd, "model_g."), gen_template)
+    disc_sd = strip_prefix(sd, "model_d.")
+    disc = (convert_unet_discriminator(disc_sd, disc_variables_template)
+            if disc_sd else None)
+    return gen, disc

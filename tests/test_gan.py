@@ -102,3 +102,38 @@ def test_gan_train_step_runs_and_improves():
     # pixel loss should drop as G fits the tiny batch
     assert metrics_hist[-1]["loss_g_pix"] < metrics_hist[0]["loss_g_pix"]
     assert int(state.step) == 5
+
+
+def test_unet_discriminator_conversion_golden():
+    """Converted reference UNetDiscriminatorSN weights reproduce its output."""
+    import sys
+    sys.path.insert(0, "tests")
+    import torch
+
+    import oracle
+    from grlir.utils.convert import convert_unet_discriminator
+
+    oracle._install_stubs()
+    from models.aux_archs.discriminator import UNetDiscriminatorSN as TorchD
+
+    tm = TorchD(num_in_ch=3, num_feat=16, skip_connection=True)
+    x = np.random.default_rng(0).random((2, 3, 32, 32)).astype(np.float32)
+    # torch SN initializes u/v randomly: sigma is garbage until power iteration
+    # converges, so run some train-mode forwards first (as any trained
+    # checkpoint implicitly has)
+    tm.train()
+    with torch.no_grad():
+        for _ in range(20):
+            tm(torch.from_numpy(x))
+    tm.eval()
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    d = UNetDiscriminatorSN(num_feat=16)
+    xin = jnp.asarray(x.transpose(0, 2, 3, 1))
+    template = jax.eval_shape(d.init, jax.random.PRNGKey(0), xin)
+    variables = convert_unet_discriminator(sd, template)
+    got = np.asarray(d.apply(variables, xin, False)).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)

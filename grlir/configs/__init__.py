@@ -113,20 +113,26 @@ def load_config(overrides: Optional[List[str]] = None,
         else:
             value_overrides.append((key, _parse_value(value)))
 
+    def _apply_group(cfg, group, name):
+        """Selecting a group REPLACES its subtree (hydra override semantics) —
+        deep-merging would leak keys from the previously selected file (e.g.
+        sr's `scale` into the dn data module)."""
+        overlay = _load_yaml(osp.join(config_dir, group, f"{name}.yaml"))
+        for key in overlay:
+            cfg.pop(key, None)
+        return _deep_merge(cfg, overlay)
+
     for group, name in selections.items():
         if name is None:
             continue
-        path = osp.join(config_dir, group, f"{name}.yaml")
-        cfg = _deep_merge(cfg, _load_yaml(path))
+        cfg = _apply_group(cfg, group, name)
 
     if experiment:
         path = osp.join(config_dir, "experiment", f"{experiment}.yaml")
         overlay = _load_yaml(path)
         # experiment overlays may themselves select groups via `defaults`
         for group, name in dict(overlay.pop("defaults", {})).items():
-            cfg = _deep_merge(
-                cfg, _load_yaml(osp.join(config_dir, group, f"{name}.yaml"))
-            )
+            cfg = _apply_group(cfg, group, name)
         cfg = _deep_merge(cfg, overlay)
 
     for key, value in value_overrides:

@@ -39,7 +39,12 @@ class DataLoader:
         num_workers: int = 2,
         prefetch: int = 4,
         seed: int = 0,
+        shard: tuple = (0, 1),
     ):
+        """shard=(process_index, process_count): each host reads its stride of
+        the (shared-seed) shuffled order — the DistributedSampler analogue; val
+        overlap/padding is neutralized downstream by dedup-by-index
+        (metrics/collect.py)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -47,6 +52,7 @@ class DataLoader:
         self.num_workers = max(num_workers, 1)
         self.prefetch = prefetch
         self.seed = seed
+        self.shard = shard
         self._epoch = 0
 
     def __len__(self):
@@ -63,9 +69,12 @@ class DataLoader:
         order = np.arange(n)
         if self.shuffle:
             np.random.default_rng(self.seed + self._epoch).shuffle(order)
+        rank, world = self.shard
+        if world > 1:
+            order = order[rank::world]
         batches = [
             order[i: i + self.batch_size].tolist()
-            for i in range(0, n, self.batch_size)
+            for i in range(0, len(order), self.batch_size)
         ]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()

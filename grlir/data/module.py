@@ -74,9 +74,12 @@ class IRDataModule:
         self._seed = seed
 
     def train_loader(self, batch_size: int, num_workers: int = 2) -> DataLoader:
+        import jax
+
         return DataLoader(self.train_dataset, batch_size, shuffle=True,
                           drop_last=True, num_workers=num_workers,
-                          seed=self._seed)
+                          seed=self._seed,
+                          shard=(jax.process_index(), jax.process_count()))
 
     def val_loaders(self, batch_size: int = 1, num_workers: int = 2):
         return {

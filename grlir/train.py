@@ -115,12 +115,22 @@ def main(argv=None):
 
     mesh = make_mesh(cfg.get("num_devices"))
     state = create_state(params, optimizer)
-    preprocess = make_train_preprocess(
-        task, blur_kernel, cfg.get("mixup", False), scale,
-        use_usm_target=cfg.get("engine", {}).get("name") == "base_psnr"
-        and cfg.get("engine", {}).get("use_usm", False))
-    train_step = make_train_step(model, optimizer, cfg["loss"], mesh=mesh,
-                                 preprocess=preprocess)
+    use_usm = (cfg.get("engine", {}).get("name") == "base_psnr"
+               and cfg.get("engine", {}).get("use_usm", False))
+
+    # progressive (Restormer-style) batch/patch schedule (engines/base.py:145-165)
+    prog_steps = list(cfg.get("steps") or [])
+    prog_batches = list(cfg.get("batch_sizes") or [])
+    prog_patches = list(cfg.get("patch_sizes") or [])
+
+    def build_step(crop_patch=None):
+        pre = make_train_preprocess(
+            task, blur_kernel, cfg.get("mixup", False), scale,
+            crop_patch=crop_patch, use_usm_target=use_usm)
+        return make_train_step(model, optimizer, cfg["loss"], mesh=mesh,
+                               preprocess=pre)
+
+    train_step = build_step()
     eval_apply = lambda p, x: model.apply(p, x)
 
     from grlir.utils.profiling import MetricsLogger
@@ -172,9 +182,26 @@ def main(argv=None):
     t0 = time.time()
     start_step = int(state.step)
 
+    from grlir.engines.preprocess import progressive_stage
+
+    current_stage = -1
     for step in range(start_step, max_steps):
         batch = next(stream)
         batch = {k: v for k, v in batch.items() if not isinstance(v, list)}
+        if prog_steps:
+            stage = progressive_stage(step, prog_steps)
+            if stage != current_stage:
+                current_stage = stage
+                crop = (prog_patches[stage] if stage < len(prog_patches)
+                        else None)
+                train_step = build_step(
+                    crop if crop and crop < cfg["patch_size"] else None)
+                print(f"[grlir] progressive stage {stage}: "
+                      f"batch={prog_batches[stage] if stage < len(prog_batches) else '-'} "
+                      f"patch={crop}")
+            if stage < len(prog_batches):
+                bs = min(prog_batches[stage], cfg["batch_size"])
+                batch = {k: v[:bs] for k, v in batch.items()}
         batch = shard_batch(batch, mesh)
         key, sub = jax.random.split(key)
         state, metrics = train_step(state, batch, sub)

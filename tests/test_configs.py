@@ -75,3 +75,18 @@ def test_all_model_configs_build():
         cfg = load_config([f"model={m}"])
         mc = build_model_config(cfg)
         assert mc.embed_dim in (64, 128, 180)
+
+
+def test_group_replacement_no_leak():
+    """Selecting a group must REPLACE its subtree: sr's scale/load_lr must not
+    leak into the dn data module (regression: progressive crop used scale=2)."""
+    cfg = load_config(["experiment=dn/grl"])
+    assert "scale" not in cfg["data_module"]
+    assert "load_lr" not in cfg["data_module"]
+    cfg2 = load_config(["data_module=jpeg"])
+    assert "scale" not in cfg2["data_module"]
+    assert cfg2["data_module"]["quality_factor"] == 10
+    # experiment overlays still deep-merge over their selected groups
+    cfg3 = load_config(["experiment=sr/grl_p256"])
+    assert cfg3["data_module"]["scale"] == 4
+    assert cfg3["data_module"]["train"]["dataset"] == "df2k"

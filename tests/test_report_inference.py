@@ -1,0 +1,74 @@
+"""Results pivot + Restorer unit tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from grlir.engines.inference import Restorer
+from grlir.utils.report import parse_csv
+
+
+def test_parse_csv_pivot(tmp_path):
+    p = tmp_path / "results.csv"
+    p.write_text(
+        "tag,val_set,step,psnr,ssim\n"
+        "t,set5,100,30.1234,0.9000\n"
+        "t,set14,100,28.5000,0.8500\n"
+        "t,set5,200,30.9999,0.9100\n"
+    )
+    table = parse_csv(str(p))
+    lines = table.strip().splitlines()
+    assert lines[0].split() == ["val_set", "step", "psnr", "ssim"]
+    # latest step wins for set5
+    assert "30.9999" in table and "30.1234" not in table
+    assert "set14" in table
+
+
+def _identity_restorer(**kw):
+    return Restorer(lambda p, x: x * 2.0, params=None, **kw)
+
+
+def test_restorer_whole_image():
+    r = _identity_restorer(scale=1)
+    x = np.ones((1, 8, 8, 3), np.float32)
+    np.testing.assert_allclose(r(x), 2 * x)
+
+
+def test_restorer_tiling_identity_exact():
+    """For a pointwise model, overlap-tiled output equals the whole image."""
+    r = _identity_restorer(scale=1, tile=4, tile_overlap=2, tile_batch=3)
+    x = np.random.default_rng(0).random((2, 10, 14, 3)).astype(np.float32)
+    np.testing.assert_allclose(r(x), 2 * x, atol=1e-6)
+
+
+def test_restorer_tiling_with_scale():
+    def up2(p, x):
+        B, H, W, C = x.shape
+        return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+    r = Restorer(up2, params=None, scale=2, tile=4, tile_overlap=2)
+    x = np.random.default_rng(1).random((1, 8, 10, 3)).astype(np.float32)
+    out = r(x)
+    assert out.shape == (1, 16, 20, 3)
+    np.testing.assert_allclose(out, np.repeat(np.repeat(x, 2, 1), 2, 2),
+                               atol=1e-6)
+
+
+def test_loader_host_sharding():
+    from grlir.data.loader import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"x": np.full((2,), i), "indices": i}
+
+    all_idx = []
+    for rank in range(2):
+        dl = DataLoader(DS(), batch_size=2, shuffle=True, seed=3,
+                        shard=(rank, 2))
+        got = [int(b["indices"][j]) for b in dl for j in range(len(b["indices"]))]
+        assert len(got) == 5
+        all_idx.extend(got)
+    # the two hosts together cover every sample exactly once
+    assert sorted(all_idx) == list(range(10))

@@ -98,3 +98,18 @@ def test_eval_only_mode(data_root, tmp_path, capsys):
     main(_overrides(tmp_path) + ["training=false", "tag=ev"])
     out = capsys.readouterr().out
     assert "val[cbsd68]" in out
+
+
+def test_progressive_schedule(data_root, tmp_path, capsys):
+    """Restormer-style progressive batch/patch re-cropping changes stage."""
+    from grlir.train import main
+
+    main(_overrides(tmp_path, steps=4) + [
+        "tag=prog",
+        "steps=[2]",
+        "batch_sizes=[2,1]",
+        "patch_sizes=[16,8]",   # stage 1 crops 16->8
+    ])
+    out = capsys.readouterr().out
+    assert "progressive stage 0" in out
+    assert "progressive stage 1" in out

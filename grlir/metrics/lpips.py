@@ -39,27 +39,29 @@ class LPIPSVgg(nn.Module):
 
     @nn.compact
     def __call__(self, x, y):
-        def feats(v):
-            v = 2.0 * v - 1.0  # [0,1] -> [-1,1] like the reference wrapper
-            v = (v - _SHIFT) / _SCALE
-            out = {}
-            h = v
-            for name in VGG16_NAMES:
-                if name.startswith("conv"):
-                    h = nn.Conv(_CH[name.split("_")[0]], (3, 3), padding=1,
-                                name=name)(h)
-                elif name.startswith("relu"):
-                    h = nn.relu(h)
-                else:
-                    h = nn.max_pool(h, (2, 2), strides=(2, 2))
-                if name in LPIPS_TAPS:
-                    out[name] = h
-                    if name == LPIPS_TAPS[-1]:
-                        break
-            return out
+        # run both images through the shared backbone in one batch (submodules
+        # are created once)
+        v = jnp.concatenate([x, y], axis=0)
+        v = 2.0 * v - 1.0  # [0,1] -> [-1,1] like the reference wrapper
+        v = (v - _SHIFT) / _SCALE
+        taps = {}
+        h = v
+        for name in VGG16_NAMES:
+            if name.startswith("conv"):
+                h = nn.Conv(_CH[name.split("_")[0]], (3, 3), padding=1,
+                            name=name)(h)
+            elif name.startswith("relu"):
+                h = nn.relu(h)
+            else:
+                h = nn.max_pool(h, (2, 2), strides=(2, 2))
+            if name in LPIPS_TAPS:
+                taps[name] = h
+                if name == LPIPS_TAPS[-1]:
+                    break
 
-        fx = feats(x)
-        fy = feats(y)
+        B = x.shape[0]
+        fx = {k: v[:B] for k, v in taps.items()}
+        fy = {k: v[B:] for k, v in taps.items()}
         total = 0.0
         for i, tap in enumerate(LPIPS_TAPS):
             a = _unit_normalize(fx[tap])

@@ -91,6 +91,24 @@ def _install_stubs():
 
     sys.modules.setdefault("scipy.ndimage.filters", _ndi)
 
+    # torchvision: only imported for utility transforms the oracle never calls
+    tv = types.ModuleType("torchvision")
+    tvt = types.ModuleType("torchvision.transforms")
+    tvu = types.ModuleType("torchvision.utils")
+
+    class _AnyAttr(types.ModuleType):
+        def __getattr__(self, name):
+            raise NotImplementedError(
+                f"torchvision stub: {name} not available in the oracle")
+
+    tvt.__class__ = _AnyAttr
+    tv.transforms = tvt
+    tv.utils = tvu
+    tvu.make_grid = lambda *a, **k: None
+    sys.modules.setdefault("torchvision", tv)
+    sys.modules.setdefault("torchvision.transforms", tvt)
+    sys.modules.setdefault("torchvision.utils", tvu)
+
     if _REFERENCE_PATH not in sys.path:
         sys.path.insert(0, _REFERENCE_PATH)
     _installed = True

@@ -190,6 +190,13 @@ def cosine_attention(q, k, v, transform, table, index, mask,
 
         return fused_cosine_attention(
             q, k, v, transform.logit_scale, transform.bias(table, index), mask)
+    # Attention matrices live in the compute dtype: under bf16 this halves the
+    # dominant HBM traffic (QK^T out + softmax in/out + AV in).  The MXU always
+    # accumulates fp32 internally, so a native bf16-out einsum loses nothing vs
+    # an explicit fp32->bf16 round trip (and compiles much faster); fp32 inputs
+    # keep the explicit fp32 accumulation.
+    acc = (dict(preferred_element_type=jnp.float32)
+           if q.dtype == jnp.float32 else {})
     if euclidean_dist:
         attn = jnp.linalg.norm(q[..., :, None, :] - k[..., None, :, :], axis=-1)
     else:
@@ -197,17 +204,11 @@ def cosine_attention(q, k, v, transform, table, index, mask,
             "...nd,...md->...nm",
             _l2_normalize(q),
             _l2_normalize(k),
-            preferred_element_type=jnp.float32,
+            **acc,
         )
-    # Store attention matrices in the compute dtype: under bf16 this halves the
-    # dominant HBM traffic (QK^T out + softmax in/out + AV in).  The matmul
-    # accumulations and the softmax interior stay fp32 (casts fuse into the
-    # surrounding elementwise chain, so no extra memory passes).
-    attn = attn.astype(q.dtype)
     attn = transform(attn, table, index, mask)
     attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
-    out = jnp.einsum("...nm,...md->...nd", attn, v,
-                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("...nm,...md->...nd", attn, v, **acc)
     return out.astype(v.dtype)
 
 

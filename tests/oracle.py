@@ -91,17 +91,13 @@ def _install_stubs():
 
     sys.modules.setdefault("scipy.ndimage.filters", _ndi)
 
-    # torchvision: only imported for utility transforms the oracle never calls
+    # torchvision: only imported for utilities the oracle never calls
+    # (utils_bsr/utils_image.py:12 `from torchvision.utils import make_grid`).
+    # Keep the stubs plain modules — a raising __getattr__ breaks torch.optim,
+    # which inspects sys.modules entries for dunders.
     tv = types.ModuleType("torchvision")
     tvt = types.ModuleType("torchvision.transforms")
     tvu = types.ModuleType("torchvision.utils")
-
-    class _AnyAttr(types.ModuleType):
-        def __getattr__(self, name):
-            raise NotImplementedError(
-                f"torchvision stub: {name} not available in the oracle")
-
-    tvt.__class__ = _AnyAttr
     tv.transforms = tvt
     tv.utils = tvu
     tvu.make_grid = lambda *a, **k: None

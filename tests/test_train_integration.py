@@ -113,3 +113,65 @@ def test_progressive_schedule(data_root, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "progressive stage 0" in out
     assert "progressive stage 1" in out
+
+
+def test_gan_trainer_end_to_end(tmp_path, monkeypatch, capsys):
+    """BSR GAN path: python -m grlir.train engine=base_gan with synthetic data."""
+    import cv2
+
+    root = tmp_path / "data"
+    rng = np.random.default_rng(0)
+    d = root / "OST" / "imgs"
+    d.mkdir(parents=True)
+    entries = []
+    for i in range(2):
+        name = f"t{i}.png"
+        img = (rng.random((420, 430, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(d / name), cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        entries.append({"path": f"imgs/{name}"})
+    (root / "image_info" / "OST").mkdir(parents=True)
+    (root / "image_info" / "OST" / "train.json").write_text(json.dumps(entries))
+
+    test_dir = root / "test_set" / "Set5"
+    test_dir.mkdir(parents=True)
+    img = (rng.random((128, 128, 3)) * 255).astype(np.uint8)
+    cv2.imwrite(str(test_dir / "v.png"), cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    (root / "image_info" / "Set5").mkdir(parents=True)
+    (root / "image_info" / "Set5" / "test.json").write_text(
+        json.dumps([{"path": "Set5/v.png"}]))
+    # val uses SR-style paired manifest (bsr validates via SRDataset);
+    # point the LR at the same file (content irrelevant for the smoke test)
+    (root / "image_info" / "Set5" / "test_X4.json").write_text(
+        json.dumps([{"path_gt": "Set5/v.png", "path_lq": "Set5/v.png"}]))
+
+    monkeypatch.setenv("GRLIR_DATA_ROOT", str(root))
+    monkeypatch.setenv("GRLIR_CACHE_DIR", str(tmp_path / "cache"))
+
+    from grlir.train import main
+
+    main([
+        "experiment=bsr/grl",
+        "tag=gan",
+        f"io.base_output_path={tmp_path}/out",
+        "data_module.train.dataset=ost",
+        "data_module.val.dataset=set5",
+        "model.model_g.embed_dim=16",
+        "model.model_g.local_connection=false",  # CAB needs C>=18 (C//18 chans)
+        "model.model_g.depths=[1]",
+        "model.model_g.num_heads_window=[2]",
+        "model.model_g.num_heads_stripe=[2]",
+        "model.model_d.num_feat=8",
+        "patch_size=16",
+        "batch_size=1",
+        "remat=false",
+        "trainer.max_steps=2",
+        "trainer.val_check_interval=2",
+        "trainer.log_every_n_steps=1",
+        "num_workers=1",
+        "num_devices=1",
+    ])
+    out = capsys.readouterr().out
+    assert "GAN: G=" in out
+    assert "gan step 2/2" in out
+    assert "niqe=" in out
+    assert "gan done" in out

@@ -223,3 +223,58 @@ def load_gan_checkpoint(path: str, gen_template, disc_variables_template):
     disc = (convert_unet_discriminator(disc_sd, disc_variables_template)
             if disc_sd else None)
     return gen, disc
+
+
+def main(argv=None):
+    """CLI: convert a released PyTorch checkpoint to a flax msgpack file.
+
+    python -m grlir.utils.convert ckpt.ckpt out.msgpack \
+        --model tiny|small|base --task sr|dn|jpeg|dm|db|bsr [--scale 4]
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("checkpoint")
+    ap.add_argument("output")
+    ap.add_argument("--model", default="small",
+                    choices=["tiny", "small", "base"])
+    ap.add_argument("--task", default="sr")
+    ap.add_argument("--scale", type=int, default=4)
+    ap.add_argument("--in-channels", type=int, default=3)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from grlir.models import zoo
+    from grlir.models.grl import GRL
+
+    cfg = zoo.make_config(args.model, task=args.task, upscale=args.scale,
+                          in_channels=args.in_channels)
+    model = GRL(cfg)
+    template = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, cfg.in_channels), jnp.float32),
+    )
+    sd = load_torch_checkpoint(args.checkpoint)
+    for prefix in ("model.", "model_g.", ""):
+        stripped = strip_prefix(sd, prefix)
+        if not stripped:
+            continue
+        try:
+            params = convert_torch_state_dict(stripped, template)
+            break
+        except KeyError:
+            continue
+    else:
+        raise SystemExit("checkpoint does not match the model parameter tree")
+
+    with open(args.output, "wb") as f:
+        f.write(serialization.to_bytes(params))
+    n = sum(int(np.prod(v.shape)) for v in _flatten(params).values())
+    print(f"wrote {args.output} ({n/1e6:.3f}M params)")
+
+
+if __name__ == "__main__":
+    main()

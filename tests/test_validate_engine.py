@@ -1,0 +1,77 @@
+"""Validation-loop unit tests: per-task preprocessing, metrics, reporting."""
+
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from grlir.data.degradations import get_blur_kernel
+from grlir.engines.validate import preprocess_val_batch, validate
+
+
+class FakeLoader(list):
+    pass
+
+
+def _batch(h=32, w=32, idx=0):
+    rng = np.random.default_rng(idx)
+    gt = rng.random((1, h, w, 3)).astype(np.float32)
+    lq = np.clip(gt + rng.normal(0, 0.05, gt.shape), 0, 1).astype(np.float32)
+    return {"img_lq": lq, "img_gt": gt, "indices": np.array([idx]),
+            "filenames": [f"img{idx}.png"]}
+
+
+def _identity_restorer():
+    class R:
+        def __call__(self, x):
+            return x
+
+    return R()
+
+
+def test_validate_basic(tmp_path):
+    loader = FakeLoader([_batch(idx=i) for i in range(3)])
+    res = validate(_identity_restorer(), loader,
+                   ("psnr", "ssim"), task="dn",
+                   save_dir=str(tmp_path / "imgs"))
+    assert 20 < res["psnr"] < 40
+    assert 0 < res["ssim"] <= 1
+    assert osp.exists(tmp_path / "imgs" / "per_image_metrics.txt")
+    assert osp.exists(tmp_path / "imgs" / "HQ" / "img0.png")
+
+
+def test_validate_sr_shaves_border():
+    # identity restorer on identical imgs: psnr inf regardless; use noise and
+    # confirm sr path runs (shave changes shapes but not crash)
+    loader = FakeLoader([_batch(idx=1)])
+    res = validate(_identity_restorer(), loader, ("psnr",), task="sr", scale=4)
+    assert np.isfinite(res["psnr"])
+
+
+def test_preprocess_val_dm():
+    rng = np.random.default_rng(0)
+    batch = {"img_lq": rng.random((1, 8, 8, 4)).astype(np.float32),
+             "img_gt": rng.random((1, 16, 16, 3)).astype(np.float32)}
+    lq, gt = preprocess_val_batch(batch, "dm")
+    assert lq.shape == (1, 16, 16, 3)  # demosaic init doubles resolution
+
+
+def test_preprocess_val_db():
+    rng = np.random.default_rng(0)
+    k = get_blur_kernel("gaussian")
+    batch = {"img_lq": np.zeros((1, 40, 40, 3), np.float32),
+             "img_gt": rng.random((1, 40, 40, 3)).astype(np.float32)}
+    lq, gt = preprocess_val_batch(batch, "db", blur_kernel=k)
+    assert lq.shape == (1, 40, 40, 3)
+    # val path: no border crop, lq = blur(gt) + 0
+    assert gt.shape == (1, 40, 40, 3)
+    assert not np.allclose(lq, batch["img_gt"])
+
+
+def test_preprocess_val_dual_pixel():
+    rng = np.random.default_rng(0)
+    batch = {"img_lq_l": rng.random((1, 8, 8, 3)).astype(np.float32),
+             "img_lq_r": rng.random((1, 8, 8, 3)).astype(np.float32),
+             "img_gt": rng.random((1, 8, 8, 3)).astype(np.float32)}
+    lq, gt = preprocess_val_batch(batch, "paired_dual")
+    assert lq.shape == (1, 8, 8, 6)

@@ -152,6 +152,8 @@ def main(argv=None):
         print(f"[grlir] resumed from step {int(state.step)}")
 
     metric_names = cfg["metric"]["val"]
+    monitor = cfg["model_checkpoint"]["monitor"].replace("val_", "")
+    best = {"value": None, "step": 0}
 
     def run_validation(step: int) -> Dict[str, float]:
         restorer = Restorer(eval_apply, state.params, scale=scale,
@@ -170,6 +172,20 @@ def main(argv=None):
                               name, res, step)
             line = " ".join(f"{k}={v:.4f}" for k, v in res.items())
             print(f"[grlir] step {step} val[{name}]: {line}")
+        # best-so-far tracking on the monitored metric of the first val set
+        # (engines/base.py:347-390 log-line semantics)
+        first = next(iter(all_results.values()), {})
+        cur = first.get(monitor)
+        if cur is not None:
+            better = (best["value"] is None
+                      or (cfg["model_checkpoint"]["mode"] == "max"
+                          and cur > best["value"])
+                      or (cfg["model_checkpoint"]["mode"] == "min"
+                          and cur < best["value"]))
+            if better:
+                best.update(value=cur, step=step)
+            print(f"[grlir] best {monitor}={best['value']:.4f} "
+                  f"@ step {best['step']}")
         return all_results
 
     if not cfg.get("training", True):

@@ -91,7 +91,9 @@ def main():
     vs = None
     if os.environ.get("GRLIR_BENCH_SKIP_TORCH", "0") != "1":
         try:
-            baseline = bench_torch_reference(hw)
+            # MP/s is roughly size-independent for the CPU reference; measure
+            # at 192px / 1 iter to keep the baseline pass short
+            baseline = bench_torch_reference(192, iters=1)
             vs = mps / baseline
         except Exception:
             vs = None

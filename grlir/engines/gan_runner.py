@@ -62,8 +62,17 @@ def run_gan(cfg: dict, out_dir: str):
 
     eng = cfg.get("engine", {})
     if eng.get("bsr_psnr_checkpoint"):
-        params_g = load_pretrained(
-            jax.eval_shape(lambda: params_g), eng["bsr_psnr_checkpoint"])
+        ckpt_path = osp.expanduser(eng["bsr_psnr_checkpoint"])
+        if osp.isdir(ckpt_path):  # grlir orbax stage-1 output
+            from grlir.utils.checkpoint import CheckpointManager as _CM
+
+            mgr = _CM(ckpt_path)
+            params_g = mgr.restore_params_only(
+                jax.eval_shape(lambda: params_g))
+            mgr.close()
+        else:  # released torch checkpoint
+            params_g = load_pretrained(
+                jax.eval_shape(lambda: params_g), ckpt_path)
         print(f"[grlir] loaded PSNR generator {eng['bsr_psnr_checkpoint']}")
     if eng.get("bsr_discriminator_checkpoint"):
         from grlir.utils.convert import (

@@ -56,6 +56,29 @@ class CheckpointManager:
             step, args=ocp.args.StandardRestore(state_template)
         )
 
+    def restore_params_only(self, params_template: Any,
+                            step: Optional[int] = None) -> Any:
+        """Extract just the model params from a saved TrainState/GANTrainState
+        (cross-stage handoff, e.g. BSR PSNR -> GAN generator warm start)."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(None))
+        for key in ("params", "params_g"):
+            if isinstance(restored, dict) and key in restored:
+                found = restored[key]
+                break
+        else:
+            found = restored
+        # align leaf dtypes/structure with the template
+        flat_t, treedef = jax.tree_util.tree_flatten(params_template)
+        flat_r = jax.tree_util.tree_leaves(found)
+        assert len(flat_t) == len(flat_r), "checkpoint/template mismatch"
+        return jax.tree_util.tree_unflatten(
+            treedef,
+            [np.asarray(r).astype(t.dtype) for t, r in zip(flat_t, flat_r)],
+        )
+
     def close(self):
         self._mgr.close()
 

@@ -72,3 +72,44 @@ def test_loader_host_sharding():
         all_idx.extend(got)
     # the two hosts together cover every sample exactly once
     assert sorted(all_idx) == list(range(10))
+
+
+def test_serve_cli(tmp_path):
+    """python -m grlir.serve end-to-end with a flax msgpack checkpoint."""
+    import cv2
+    import jax
+    from flax import serialization
+
+    from grlir.models import zoo
+    from grlir.models.grl import GRL
+    from grlir import serve
+
+    # micro model checkpoint as msgpack
+    from dataclasses import replace
+
+    cfg = zoo.make_config("tiny", task="sr", upscale=2)
+    cfg = replace(cfg, depths=(1,), embed_dim=16, num_heads_window=(2,),
+                  num_heads_stripe=(2,))
+    # serve builds from zoo.make_config; monkeypatching zoo keeps the test fast
+    orig = zoo.make_config
+    zoo.make_config = lambda *a, **k: cfg
+    try:
+        model = GRL(cfg)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 32, 32, 3)))
+        ckpt = tmp_path / "m.msgpack"
+        ckpt.write_bytes(serialization.to_bytes(params))
+
+        src = tmp_path / "in"
+        src.mkdir()
+        img = (np.random.default_rng(0).random((40, 56, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(src / "a.png"), img)
+
+        out = tmp_path / "out"
+        serve.main(["--input", str(src), "--output", str(out),
+                    "--checkpoint", str(ckpt), "--model", "tiny",
+                    "--task", "sr", "--scale", "2"])
+        res = cv2.imread(str(out / "a.png"))
+        assert res.shape == (80, 112, 3)
+    finally:
+        zoo.make_config = orig

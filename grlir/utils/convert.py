@@ -153,6 +153,13 @@ def convert_torch_state_dict(state_dict: Mapping[str, np.ndarray], params) -> di
     out = {}
     for path, value in flat.items():
         tkey = flax_path_to_torch_key(path)
+        if tkey not in state_dict and "pointwise" in path:
+            # SeparableConv without GELU (reference's effective default through
+            # the efficient GRL): Sequential indices are [0, 1] not [0, 2]
+            alt = tkey.replace(".2.weight", ".1.weight").replace(
+                ".2.bias", ".1.bias")
+            if alt in state_dict:
+                tkey = alt
         if tkey not in state_dict:
             raise KeyError(f"torch key {tkey!r} (for flax {'/'.join(path)}) missing")
         # `value` may be a concrete array or a jax.ShapeDtypeStruct template

@@ -61,7 +61,11 @@ def _install_stubs():
     oc = types.ModuleType("omegaconf")
 
     class _NS(dict):
-        __getattr__ = dict.__getitem__
+        # OmegaConf non-struct mode returns None for missing keys — the
+        # reference relies on this (e.g. args.separable_conv_act is never
+        # actually forwarded by GRL.__init__, grl.py:302-308)
+        def __getattr__(self, k):
+            return self.get(k)
 
     class OmegaConf:
         @staticmethod

@@ -23,6 +23,15 @@ def bench_jax(hw: int, bs: int, iters: int) -> float:
     from dataclasses import replace
 
     import jax
+
+    # persistent compilation cache: the remote compile service is minutes-slow
+    # and highly variable; a primed local cache makes reruns near-instant
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("GRLIR_JAX_CACHE",
+                       os.path.join(os.path.dirname(__file__), ".jax_cache")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from grlir.models import zoo

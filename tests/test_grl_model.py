@@ -98,3 +98,41 @@ def test_output_depends_on_stripe_and_window_paths():
     y = model.apply(params, x)
     assert np.isfinite(np.asarray(y)).all()
     assert np.asarray(y).std() > 0
+
+
+def test_grayscale_jpeg_model():
+    """1-channel model (gray JPEG artifact removal): zero mean shift, identity
+    tail with residual."""
+    cfg = zoo.make_config("tiny", task="jpeg", in_channels=1)
+    model = GRL(cfg)
+    x = jnp.asarray(np.random.default_rng(0).random((1, 32, 32, 1)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (1, 32, 32, 1)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_dual_pixel_model_in6_out3():
+    """Dual-pixel defocus: 6-channel input, 3-channel output, no residual
+    (in != out skips the skip connection, grl.py:544-547)."""
+    cfg = zoo.make_config("tiny", task="paired", in_channels=6)
+    from dataclasses import replace
+
+    cfg = replace(cfg, out_channels=3)
+    model = GRL(cfg)
+    x = jnp.asarray(np.random.default_rng(0).random((1, 32, 32, 6)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (1, 32, 32, 3)
+
+
+def test_noise_level_map_model_in4():
+    """Denoising with noise-level-map channel: 4-in 3-out."""
+    cfg = zoo.make_config("tiny", task="dn", in_channels=4)
+    from dataclasses import replace
+
+    cfg = replace(cfg, out_channels=3)
+    model = GRL(cfg)
+    x = jnp.asarray(np.random.default_rng(1).random((1, 32, 32, 4)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    assert model.apply(params, x).shape == (1, 32, 32, 3)

@@ -57,6 +57,7 @@ def validate(
     blur_kernel: Optional[np.ndarray] = None,
     save_dir: Optional[str] = None,
     gather_across_hosts: bool = False,
+    step: Optional[int] = None,
 ) -> Dict[str, float]:
     """Run a full validation pass; returns {metric: value} plus writes
     per-image table to save_dir if given."""
@@ -96,8 +97,14 @@ def validate(
     results = acc.compute()
     if save_dir:
         os.makedirs(save_dir, exist_ok=True)
-        with open(osp.join(save_dir, "per_image_metrics.txt"), "w") as f:
+        # step-stamped like the reference's per-image txt files
+        # (engines/base.py:392-422); keep a stable latest alias too
+        suffix = f"_{step}" if step is not None else ""
+        with open(osp.join(save_dir, f"per_image_metrics{suffix}.txt"), "w") as f:
             f.write(acc.per_image_table())
+        if suffix:
+            with open(osp.join(save_dir, "per_image_metrics.txt"), "w") as f:
+                f.write(acc.per_image_table())
     return results
 
 

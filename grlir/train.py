@@ -166,6 +166,7 @@ def main(argv=None):
                 save_dir=osp.join(out_dir, "images", name)
                 if cfg.get("save_images") else None,
                 gather_across_hosts=jax.process_count() > 1,
+                step=step,
             )
             all_results[name] = res
             write_results_csv(osp.join(out_dir, "results.csv"), cfg["tag"],

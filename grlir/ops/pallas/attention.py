@@ -75,15 +75,15 @@ def fused_cosine_attention(q, k, v, logit_scale, bias,
                            mask: Optional[jnp.ndarray] = None,
                            block_windows: int = 32,
                            interpret: Optional[bool] = None):
-    if interpret is None:
-        # Mosaic kernels only compile for TPU; fall back to the interpreter on
-        # CPU (tests / virtual meshes) so the flag is usable everywhere
-        interpret = jax.default_backend() != "tpu"
     """q: (B, nW, h, N1, d); k, v: (B, nW, h, N2, d);
     logit_scale: (h, 1, 1) raw parameter (clamped+exp inside);
     bias: (h, N1, N2) fp32 (already 16*sigmoid(cpb));
     mask: (nW, N1, N2) or None.  Returns (B, nW, h, N1, d).
     """
+    if interpret is None:
+        # Mosaic kernels only compile for TPU; fall back to the interpreter on
+        # CPU (tests / virtual meshes) so the flag is usable everywhere
+        interpret = jax.default_backend() != "tpu"
     B, nW, h, N1, d = q.shape
     N2 = k.shape[3]
     W = B * nW
@@ -135,4 +135,126 @@ def fused_cosine_attention(q, k, v, logit_scale, bias,
         ),
         interpret=interpret,
     )(*args)
+    return out.reshape(B, nW, h, N1, d)
+
+
+def _packed_attention_kernel(q_ref, k_ref, v_ref, scale_ref, bias_ref,
+                             bdmask_ref, *mask_and_out, has_mask: bool,
+                             pack: int, n1: int, n2: int):
+    """Block-diagonal packed variant: P windows fused into one (P*N1, P*N2)
+    attention so the MXU runs full-width tiles instead of P small matmuls.
+
+    Off-diagonal logits get -1e9 before softmax (exp -> 0), which makes the
+    result exactly the per-window attention at P x FLOP cost — a good trade on
+    a memory-bound model where the MXU is otherwise latency-starved.
+    """
+    if has_mask:
+        mask_ref, out_ref = mask_and_out
+    else:
+        (out_ref,) = mask_and_out
+    G, h, PN1, d = q_ref.shape
+    PN2 = k_ref.shape[2]
+    q = q_ref[...].astype(jnp.float32)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+
+    qn = q * jax.lax.rsqrt(jnp.maximum(jnp.sum(q * q, -1, keepdims=True), 1e-24))
+    kn = k * jax.lax.rsqrt(jnp.maximum(jnp.sum(k * k, -1, keepdims=True), 1e-24))
+
+    attn = jax.lax.dot_general(
+        qn.reshape(G * h, PN1, d), kn.reshape(G * h, PN2, d),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(G, h, PN1, PN2)
+
+    scale = scale_ref[...].reshape(1, -1, 1, 1)
+    # bias tiled PxP outside; off-diagonal values are masked away below
+    attn = attn * scale + bias_ref[...][None] + bdmask_ref[...][None, None]
+
+    if has_mask:
+        # per-window shift masks live on the diagonal blocks only
+        for i in range(pack):
+            blk = attn[:, :, i * n1:(i + 1) * n1, i * n2:(i + 1) * n2]
+            attn = attn.at[:, :, i * n1:(i + 1) * n1,
+                           i * n2:(i + 1) * n2].set(
+                blk + mask_ref[:, i][:, None])
+
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jax.lax.dot_general(
+        attn.reshape(G * h, PN1, PN2), v.reshape(G * h, PN2, d),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(G, h, PN1, d)
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
+def fused_cosine_attention_packed(q, k, v, logit_scale, bias,
+                                  mask: Optional[jnp.ndarray] = None,
+                                  pack: int = 4,
+                                  groups_per_block: int = 8,
+                                  interpret: Optional[bool] = None):
+    """Block-diagonal packed fused attention.  Same contract as
+    fused_cosine_attention; `pack` windows share one attention matrix."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, nW, h, N1, d = q.shape
+    N2 = k.shape[3]
+    W = B * nW
+    if W % pack:
+        pack = math.gcd(W, pack)
+    WP = W // pack
+
+    # windows are contiguous in W: group P neighbours, concat their tokens
+    qf = q.reshape(WP, pack, h, N1, d).transpose(0, 2, 1, 3, 4).reshape(
+        WP, h, pack * N1, d)
+    kf = k.reshape(WP, pack, h, N2, d).transpose(0, 2, 1, 3, 4).reshape(
+        WP, h, pack * N2, d)
+    vf = v.reshape(WP, pack, h, N2, d).transpose(0, 2, 1, 3, 4).reshape(
+        WP, h, pack * N2, d)
+
+    G = math.gcd(WP, groups_per_block) if WP % groups_per_block else groups_per_block
+    grid = (WP // G,)
+
+    scale = jnp.exp(jnp.minimum(logit_scale, math.log(100.0))).reshape(h, 1)
+    bias_t = jnp.tile(bias.astype(jnp.float32), (1, pack, pack))
+    bd = np.full((pack * N1, pack * N2), -1e9, np.float32)
+    for i in range(pack):
+        bd[i * N1:(i + 1) * N1, i * N2:(i + 1) * N2] = 0.0
+    bd = jnp.asarray(bd)
+
+    in_specs = [
+        pl.BlockSpec((G, h, pack * N1, d), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, h, pack * N2, d), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, h, pack * N2, d), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, pack * N1, pack * N2), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((pack * N1, pack * N2), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [qf, kf, vf, scale, bias_t, bd]
+    has_mask = mask is not None
+    if has_mask:
+        mask_full = jnp.broadcast_to(mask[None], (B, nW, N1, N2)).reshape(
+            WP, pack, N1, N2).astype(jnp.float32)
+        in_specs.append(
+            pl.BlockSpec((G, pack, N1, N2), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM))
+        args.append(mask_full)
+
+    kernel = functools.partial(_packed_attention_kernel, has_mask=has_mask,
+                               pack=pack, n1=N1, n2=N2)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((G, h, pack * N1, d), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((WP, h, pack * N1, d), q.dtype),
+        interpret=interpret,
+    )(*args)
+    out = out.reshape(WP, h, pack, N1, d).transpose(0, 2, 1, 3, 4)
     return out.reshape(B, nW, h, N1, d)

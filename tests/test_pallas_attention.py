@@ -86,3 +86,31 @@ def test_model_level_pallas_parity():
     want = np.asarray(model.apply(params, x))
     got = np.asarray(GRL(replace(cfg, use_pallas_attention=True)).apply(params, x))
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [
+    (1, 16, 2, 64, 64, 32),
+    (2, 8, 2, 64, 64, 32),
+])
+@pytest.mark.parametrize("with_mask", [False, True])
+@pytest.mark.parametrize("pack", [2, 4])
+def test_packed_matches_xla(shape, with_mask, pack):
+    from grlir.ops.pallas.attention import fused_cosine_attention_packed
+
+    B, nW, h, N1, N2, d = shape
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, nW, h, N1, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, nW, h, N2, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, nW, h, N2, d)), jnp.float32)
+    logit_scale = jnp.asarray(rng.uniform(0, 3, (h, 1, 1)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((h, N1, N2)), jnp.float32)
+    mask = None
+    if with_mask:
+        mask = jnp.where(jnp.asarray(rng.random((nW, N1, N2))) > 0.8,
+                         -100.0, 0.0).astype(jnp.float32)
+
+    want = np.asarray(_xla_reference(q, k, v, logit_scale, bias, mask))
+    got = np.asarray(fused_cosine_attention_packed(
+        q, k, v, logit_scale, bias, mask, pack=pack, groups_per_block=4,
+        interpret=True))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)

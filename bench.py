@@ -45,25 +45,43 @@ def bench_jax(hw: int, bs: int, iters: int) -> float:
     if os.environ.get("GRLIR_BENCH_PALLAS", "0") == "1":
         cfg = replace(cfg, use_pallas_attention=True)
     model = GRL(cfg)
-    x = jnp.asarray(np.random.default_rng(0).random((bs, hw, hw, 3)), jnp.float32)
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.random((iters, bs, hw, hw, 3)), jnp.float32)
     # init must run under jit: unjitted init is minutes-slow over the TPU tunnel
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
-    # Reduce the output to a scalar inside the program and fetch it: over the
-    # axon tunnel, block_until_ready() does NOT synchronize remote execution
-    # (it returns ~0.3ms for an 89ms program) and fetching the full image is
-    # transfer-dominated.  A scalar fetch forces completion at negligible
-    # transfer cost, so the measurement is honest device time (+small RTT).
-    fwd = jax.jit(lambda p, v: jnp.sum(model.apply(p, v).astype(jnp.float32)))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), xs[0])
 
-    float(fwd(params, x))  # compile + warmup
-    float(fwd(params, x))
+    # Measurement methodology for the axon tunnel:
+    #  - block_until_ready() does NOT synchronize remote execution (async
+    #    timings are ~300x optimistic); a scalar output fetched to host forces
+    #    completion at negligible transfer cost.
+    #  - every dispatch pays a ~30-40ms tunnel round trip, so single-call
+    #    timings are floor-dominated; run `iters` forwards INSIDE one program
+    #    (lax.scan) and subtract a single-forward call to amortize the floor —
+    #    that is the honest steady-state device throughput.
+    def many(p, v):
+        def body(c, x):
+            return c + jnp.sum(model.apply(p, x).astype(jnp.float32)), None
+        c, _ = jax.lax.scan(body, 0.0, v)
+        return c
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        s = float(fwd(params, x))
-    dt = time.perf_counter() - t0
+    fwd_n = jax.jit(many)
+    fwd_1 = jax.jit(
+        lambda p, v: jnp.sum(model.apply(p, v).astype(jnp.float32)))
+
+    float(fwd_n(params, xs))  # compile + warmup
+    float(fwd_1(params, xs[0]))
+
+    tn, t1 = [], []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        s = float(fwd_n(params, xs))
+        tn.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(fwd_1(params, xs[0]))
+        t1.append(time.perf_counter() - t0)
     assert np.isfinite(s)
-    return bs * hw * hw * iters / 1e6 / dt
+    per_forward = (float(np.median(tn)) - float(np.median(t1))) / (iters - 1)
+    return bs * hw * hw / 1e6 / per_forward
 
 
 def bench_torch_reference(hw: int, iters: int = 2) -> float:
@@ -93,7 +111,7 @@ def main():
     # 384px amortizes fixed overheads better than 256 (1.12 vs 0.90 MP/s)
     hw = int(os.environ.get("GRLIR_BENCH_HW", 384))
     bs = int(os.environ.get("GRLIR_BENCH_BS", 1))
-    iters = int(os.environ.get("GRLIR_BENCH_ITERS", 20))
+    iters = int(os.environ.get("GRLIR_BENCH_ITERS", 8))
 
     mps = bench_jax(hw, bs, iters)
 

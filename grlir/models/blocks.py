@@ -186,9 +186,9 @@ def cosine_attention(q, k, v, transform, table, index, mask,
     use_pallas routes through the fused VMEM kernel (inference path).
     """
     if use_pallas and not euclidean_dist:
-        from grlir.ops.pallas.attention import fused_cosine_attention
+        from grlir.ops.pallas.attention import fused_cosine_attention_auto
 
-        return fused_cosine_attention(
+        return fused_cosine_attention_auto(
             q, k, v, transform.logit_scale, transform.bias(table, index), mask)
     # Attention matrices live in the compute dtype: under bf16 this halves the
     # dominant HBM traffic (QK^T out + softmax in/out + AV in).  The MXU always

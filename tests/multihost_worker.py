@@ -1,0 +1,113 @@
+"""Worker process for the 2-process multi-host smoke test.
+
+Run as: python multihost_worker.py <process_id> <num_processes> <port>
+Each process gets 2 virtual CPU devices (XLA_FLAGS set by the launcher), so
+2 processes form a 4-device global ``data`` mesh.  Exercises the real
+multi-host code paths end-to-end:
+  - jax.distributed.initialize + gloo CPU collectives
+  - make_train_step with per-process batch shards assembled via
+    jax.make_array_from_process_local_data (grad all-reduce across hosts)
+  - DataLoader shard=(rank, world) striding
+  - MetricAccumulator.gather_across_hosts + dedup (DistributedSampler-style
+    padding duplicate neutralized)
+
+Prints one JSON line per process for the launcher to compare.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+
+    import jax
+
+    # the axon site hook pins JAX_PLATFORMS=axon; force CPU *after* import
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nproc,
+        process_id=pid,
+    )
+    assert jax.process_count() == nproc
+    n_local = len(jax.local_devices())
+    n_global = len(jax.devices())
+    assert n_global == nproc * n_local
+
+    import numpy as np
+    import optax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from grlir.engines.train import create_state, make_train_step
+    from grlir.metrics.collect import MetricAccumulator
+    from grlir.models.grl import GRL, GRLConfig
+
+    cfg = GRLConfig(
+        embed_dim=16, upscale=2, upsampler="pixelshuffledirect", depths=(1,),
+        num_heads_window=(2,), num_heads_stripe=(2,), window_size=4,
+        mlp_ratio=1, stripe_size=(4, 4), stripe_groups=(None, None),
+        anchor_window_down_factor=2, local_connection=False,
+    )
+    model = GRL(cfg)
+    mesh = Mesh(np.asarray(jax.devices()).reshape(-1), ("data",))
+
+    hw, bs_global = 16, 4
+    rng = np.random.default_rng(0)  # same seed: all hosts see the full batch
+    lq_full = rng.random((bs_global, hw, hw, 3)).astype(np.float32)
+    gt_full = rng.random((bs_global, hw * 2, hw * 2, 3)).astype(np.float32)
+
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), lq_full[:1])
+    opt = optax.adam(1e-4)
+    state = create_state(params, opt)
+    step = make_train_step(model, opt, {"l1": 1.0}, mesh=mesh, donate=False)
+
+    # per-process shard -> global array (the real multi-host input path)
+    sh = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    per = bs_global // nproc
+    batch = {
+        "img_lq": jax.make_array_from_process_local_data(
+            sh, lq_full[pid * per:(pid + 1) * per]),
+        "img_gt": jax.make_array_from_process_local_data(
+            sh, gt_full[pid * per:(pid + 1) * per]),
+    }
+    state_sh = jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(rep, np.asarray(x)),
+        state)
+
+    losses = []
+    key = jax.make_array_from_process_local_data(
+        rep, np.asarray(jax.random.PRNGKey(1)))
+    for _ in range(2):
+        state_sh, metrics = step(state_sh, batch, key)
+        losses.append(float(metrics["loss"]))
+
+    # loader striding: rank sees items pid, pid+nproc, ... (loader.py:72-74)
+    my_items = list(range(10))[pid::nproc]
+
+    # metric gather with an overlapping (padded) index on both hosts
+    acc = MetricAccumulator(["psnr"])
+    vals = {0: 30.0, 1: 32.0, 2: 34.0, 3: 36.0}
+    for i in my_items:
+        if i < 4:
+            acc.update({"psnr": np.asarray([vals[i]])}, np.asarray([i]))
+    acc.update({"psnr": np.asarray([vals[0]])}, np.asarray([0]))  # pad dup
+    acc.gather_across_hosts()
+    gathered = acc.compute()["psnr"]
+
+    print(json.dumps({
+        "pid": pid,
+        "n_local": n_local,
+        "n_global": n_global,
+        "losses": losses,
+        "psnr_gathered": gathered,
+        "my_items": [int(i) for i in my_items],
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""2-process multi-host smoke test (NEXT.md robustness item).
+
+Launches two real JAX processes (gloo CPU collectives, 2 virtual devices
+each -> 4-device global ``data`` mesh) and runs the actual multi-host paths:
+distributed init, cross-host grad all-reduce inside make_train_step,
+make_array_from_process_local_data batch assembly, loader stride sharding,
+and MetricAccumulator.gather_across_hosts with a padding duplicate.
+
+Mirrors the reference's DDP/DistributedSampler behavior (SURVEY.md §5) the
+TPU-native way: multi-controller JAX instead of torch.distributed.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_train_and_gather():
+    port = _free_port()
+    workers = []
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env.pop("JAX_PLATFORMS", None)  # worker forces cpu via jax.config
+    script = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    for pid in range(2):
+        workers.append(subprocess.Popen(
+            [sys.executable, script, str(pid), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            cwd=os.path.dirname(os.path.dirname(script)), text=True))
+    outs = []
+    for w in workers:
+        try:
+            out, err = w.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for ww in workers:
+                ww.kill()
+            pytest.fail("multi-host worker timed out")
+        assert w.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    r0, r1 = sorted(outs, key=lambda r: r["pid"])
+    # both processes saw the 4-device global mesh
+    assert r0["n_global"] == r1["n_global"] == 4
+    assert r0["n_local"] == r1["n_local"] == 2
+    # lockstep SPMD: identical losses on both hosts, decreasing
+    assert r0["losses"] == pytest.approx(r1["losses"], rel=1e-6)
+    assert np.isfinite(r0["losses"]).all()
+    # loader stride sharding covers the dataset disjointly
+    assert sorted(r0["my_items"] + r1["my_items"]) == list(range(10))
+    assert not set(r0["my_items"]) & set(r1["my_items"])
+    # gather_across_hosts: both hosts agree; the duplicated pad index (0)
+    # was deduped, so the mean is over the 4 unique images
+    expected = (30.0 + 32.0 + 34.0 + 36.0) / 4
+    assert r0["psnr_gathered"] == pytest.approx(expected, abs=1e-6)
+    assert r1["psnr_gathered"] == pytest.approx(expected, abs=1e-6)

@@ -47,6 +47,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     preprocess: Optional[Callable] = None,
     donate: bool = True,
+    jit_compile: bool = True,
 ):
     """Build the jitted train step.
 
@@ -86,6 +87,10 @@ def make_train_step(
         metrics = {"loss": total, **{f"loss_{k}": v for k, v in parts.items()}}
         return new_state, metrics
 
+    if not jit_compile:
+        # raw step for callers that embed it in a larger program
+        # (e.g. lax.scan-amortized throughput measurement)
+        return step_fn
     if mesh is not None:
         state_sh = replicated(mesh)
         data_sh = batch_sharding(mesh)

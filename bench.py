@@ -44,6 +44,8 @@ def bench_jax(hw: int, bs: int, iters: int) -> float:
                   dtype=os.environ.get("GRLIR_BENCH_DTYPE", "bfloat16"))
     if os.environ.get("GRLIR_BENCH_PALLAS", "0") == "1":
         cfg = replace(cfg, use_pallas_attention=True)
+    if os.environ.get("GRLIR_BENCH_LAYOUT"):
+        cfg = replace(cfg, attn_layout=os.environ["GRLIR_BENCH_LAYOUT"])
     model = GRL(cfg)
     rng = np.random.default_rng(0)
     xs = jnp.asarray(rng.random((iters, bs, hw, hw, 3)), jnp.float32)

@@ -172,24 +172,38 @@ class AffineTransform(nn.Module):
         return attn
 
 
-def _l2_normalize(x, eps=1e-12):
+def _l2_normalize(x, eps=1e-12, axis=-1):
     # torch F.normalize: x / max(||x||, eps)
-    n = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    n = jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=True))
     return x / jnp.maximum(n, eps)
 
 
 def cosine_attention(q, k, v, transform, table, index, mask,
-                     euclidean_dist: bool = False, use_pallas: bool = False):
+                     euclidean_dist: bool = False, use_pallas: bool = False,
+                     d_major: bool = False):
     """Shared attention core (mixed_attn_block_efficient.py:77-94).
 
-    q: (B, nW, heads, N1, d); k, v: (B, nW, heads, N2, d) -> (B, nW, heads, N1, d).
-    use_pallas routes through the fused VMEM kernel (inference path).
+    Default layout: q (B, nW, heads, N1, d); k, v (B, nW, heads, N2, d)
+    -> (B, nW, heads, N1, d).  With ``d_major=True`` all four are
+    (B, nW, heads, d, N) instead — on TPU the minor dimension is padded to
+    128 lanes, so a 32-wide head dim as minor costs 4x HBM; putting the
+    token axis minor (N >= 64) halves the padded footprint of every
+    attention operand.  use_pallas routes through the fused VMEM kernel
+    (inference path).
     """
     if use_pallas and not euclidean_dist:
         from grlir.ops.pallas.attention import fused_cosine_attention_auto
 
-        return fused_cosine_attention_auto(
+        if d_major:
+            q, k, v = (jnp.swapaxes(t, -1, -2) for t in (q, k, v))
+        out = fused_cosine_attention_auto(
             q, k, v, transform.logit_scale, transform.bias(table, index), mask)
+        return jnp.swapaxes(out, -1, -2) if d_major else out
+    if euclidean_dist and d_major:
+        q, k, v = (jnp.swapaxes(t, -1, -2) for t in (q, k, v))
+        out = cosine_attention(q, k, v, transform, table, index, mask,
+                               euclidean_dist=True)
+        return jnp.swapaxes(out, -1, -2)
     # Attention matrices live in the compute dtype: under bf16 this halves the
     # dominant HBM traffic (QK^T out + softmax in/out + AV in).  The MXU always
     # accumulates fp32 internally, so a native bf16-out einsum loses nothing vs
@@ -199,6 +213,13 @@ def cosine_attention(q, k, v, transform, table, index, mask,
            if q.dtype == jnp.float32 else {})
     if euclidean_dist:
         attn = jnp.linalg.norm(q[..., :, None, :] - k[..., None, :, :], axis=-1)
+    elif d_major:
+        attn = jnp.einsum(
+            "...dn,...dm->...nm",
+            _l2_normalize(q, axis=-2),
+            _l2_normalize(k, axis=-2),
+            **acc,
+        )
     else:
         attn = jnp.einsum(
             "...nd,...md->...nm",
@@ -208,30 +229,43 @@ def cosine_attention(q, k, v, transform, table, index, mask,
         )
     attn = transform(attn, table, index, mask)
     attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
-    out = jnp.einsum("...nm,...md->...nd", attn, v, **acc)
+    if d_major:
+        out = jnp.einsum("...nm,...dm->...dn", attn, v, **acc)
+    else:
+        out = jnp.einsum("...nm,...md->...nd", attn, v, **acc)
     return out.astype(v.dtype)
 
 
-def _split_heads(x, num_heads):
-    """(B, nW, N, C) -> (B, nW, heads, N, C/heads)."""
+def _split_heads(x, num_heads, d_major: bool = False):
+    """(B, nW, N, C) -> (B, nW, heads, N, C/heads), or (B, nW, heads, C/heads, N)
+    when d_major."""
     B, nW, N, C = x.shape
     x = x.reshape(B, nW, N, num_heads, C // num_heads)
+    if d_major:
+        return x.transpose(0, 1, 3, 4, 2)
     return x.transpose(0, 1, 3, 2, 4)
 
 
-def _merge_heads(x):
-    """(B, nW, heads, N, d) -> (B, nW, N, heads*d)."""
+def _merge_heads(x, d_major: bool = False):
+    """(B, nW, heads, N, d) [or (B, nW, heads, d, N) when d_major]
+    -> (B, nW, N, heads*d)."""
+    if d_major:
+        B, nW, H, d, N = x.shape
+        return x.transpose(0, 1, 4, 2, 3).reshape(B, nW, N, H * d)
     B, nW, H, N, d = x.shape
     return x.transpose(0, 1, 3, 2, 4).reshape(B, nW, N, H * d)
 
 
-def _split_qkv_heads(qkv, num_heads):
-    """(B, nW, N, 3C) -> three (B, nW, heads, N, C/heads), matching the reference
-    channel order [3, heads, head_dim]."""
+def _split_qkv_heads(qkv, num_heads, d_major: bool = False):
+    """(B, nW, N, 3C) -> three (B, nW, heads, N, C/heads) [token-minor when
+    d_major], matching the reference channel order [3, heads, head_dim]."""
     B, nW, N, C3 = qkv.shape
     C = C3 // 3
     qkv = qkv.reshape(B, nW, N, 3, num_heads, C // num_heads)
-    q, k, v = (jnp.moveaxis(qkv[..., i, :, :], -2, 2) for i in range(3))
+    if d_major:
+        q, k, v = (qkv[..., i, :, :].transpose(0, 1, 3, 4, 2) for i in range(3))
+    else:
+        q, k, v = (jnp.moveaxis(qkv[..., i, :, :], -2, 2) for i in range(3))
     return q, k, v
 
 
@@ -244,6 +278,7 @@ class WindowAttention(nn.Module):
     window_shift: bool
     euclidean_dist: bool = False
     use_pallas: bool = False
+    d_major: bool = False
 
     @nn.compact
     def __call__(self, qkv, table, index, mask):
@@ -255,14 +290,15 @@ class WindowAttention(nn.Module):
             qkv = jnp.roll(qkv, (-shift, -shift), axis=(1, 2))
 
         qkv = window_partition(qkv, self.window_size)  # (B, nW, N, 3C)
-        q, k, v = _split_qkv_heads(qkv, self.num_heads)
+        q, k, v = _split_qkv_heads(qkv, self.num_heads, self.d_major)
 
         transform = AffineTransform(self.num_heads, name="attn_transform")
         x = cosine_attention(q, k, v, transform, table, index,
                              mask if self.window_shift else None,
-                             self.euclidean_dist, self.use_pallas)
+                             self.euclidean_dist, self.use_pallas,
+                             self.d_major)
 
-        x = _merge_heads(x)
+        x = _merge_heads(x, self.d_major)
         x = window_reverse(x, self.window_size, (H, W))
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
@@ -285,6 +321,7 @@ class AnchorStripeAttention(nn.Module):
     anchor_window_down_factor: int
     euclidean_dist: bool = False
     use_pallas: bool = False
+    d_major: bool = False
 
     @nn.compact
     def __call__(self, qkv, anchor, table, index_a2w, index_w2a, mask_a2w, mask_w2a):
@@ -305,8 +342,8 @@ class AnchorStripeAttention(nn.Module):
         qkv = window_partition(qkv, stripe_size)  # (B, nW, N1, 3C)
         anchor = window_partition(anchor, anchor_stripe)  # (B, nW, N2, C)
 
-        q, k, v = _split_qkv_heads(qkv, self.num_heads)
-        a = _split_heads(anchor, self.num_heads)  # (B, nW, heads, N2, d)
+        q, k, v = _split_qkv_heads(qkv, self.num_heads, self.d_major)
+        a = _split_heads(anchor, self.num_heads, self.d_major)
 
         t1 = AffineTransform(self.num_heads, name="attn_transform1")
         t2 = AffineTransform(self.num_heads, name="attn_transform2")
@@ -314,11 +351,13 @@ class AnchorStripeAttention(nn.Module):
         m_w2a = mask_w2a if self.stripe_shift else None
 
         x = cosine_attention(a, k, v, t1, table, index_a2w, m_a2w,
-                             self.euclidean_dist, self.use_pallas)
+                             self.euclidean_dist, self.use_pallas,
+                             self.d_major)
         x = cosine_attention(q, a, x, t2, table, index_w2a, m_w2a,
-                             self.euclidean_dist, self.use_pallas)
+                             self.euclidean_dist, self.use_pallas,
+                             self.d_major)
 
-        x = _merge_heads(x)
+        x = _merge_heads(x, self.d_major)
         x = window_reverse(x, stripe_size, (H, W))
         if self.stripe_shift:
             x = jnp.roll(x, shift_size, axis=(1, 2))
@@ -335,6 +374,7 @@ class StripeAttention(nn.Module):
     stripe_shift: bool
     num_heads: int
     euclidean_dist: bool = False
+    d_major: bool = False
 
     @nn.compact
     def __call__(self, qkv, table, index, mask):
@@ -345,12 +385,12 @@ class StripeAttention(nn.Module):
         if self.stripe_shift:
             qkv = jnp.roll(qkv, (-shift_size[0], -shift_size[1]), axis=(1, 2))
         qkv = window_partition(qkv, stripe_size)
-        q, k, v = _split_qkv_heads(qkv, self.num_heads)
+        q, k, v = _split_qkv_heads(qkv, self.num_heads, self.d_major)
         transform = AffineTransform(self.num_heads, name="attn_transform")
         x = cosine_attention(q, k, v, transform, table, index,
                              mask if self.stripe_shift else None,
-                             self.euclidean_dist)
-        x = _merge_heads(x)
+                             self.euclidean_dist, d_major=self.d_major)
+        x = _merge_heads(x, self.d_major)
         x = window_reverse(x, stripe_size, (H, W))
         if self.stripe_shift:
             x = jnp.roll(x, shift_size, axis=(1, 2))
@@ -519,6 +559,7 @@ class MixedAttention(nn.Module):
     double_window: bool = False
     stripe_square: bool = False
     use_pallas: bool = False
+    d_major: bool = False
     dtype: object = None
 
     @nn.compact
@@ -532,13 +573,14 @@ class MixedAttention(nn.Module):
 
         x_window = WindowAttention(
             self.window_size, self.num_heads_w, self.window_shift,
-            self.euclidean_dist, self.use_pallas, name="window_attn",
+            self.euclidean_dist, self.use_pallas, self.d_major,
+            name="window_attn",
         )(qkv_window, tim["table_w"], tim["index_w"], tim["mask_w"])
 
         if self.double_window:
             x_stripe = WindowAttention(
                 self.window_size, self.num_heads_w, self.window_shift,
-                self.euclidean_dist, name="stripe_attn",
+                self.euclidean_dist, d_major=self.d_major, name="stripe_attn",
             )(qkv_stripe, tim["table_w"], tim["index_w"], tim["mask_w"])
         elif use_anchor:
             anchor = AnchorProjection(self.dim, self.anchor_proj_type,
@@ -549,7 +591,8 @@ class MixedAttention(nn.Module):
             x_stripe = AnchorStripeAttention(
                 self.stripe_size_cfg, self.stripe_groups_cfg, self.stripe_shift,
                 self.num_heads_s, self.anchor_window_down_factor,
-                self.euclidean_dist, self.use_pallas, name="stripe_attn",
+                self.euclidean_dist, self.use_pallas, self.d_major,
+                name="stripe_attn",
             )(qkv_stripe, anchor, tim["table_s"], tim["index_a2w"],
               tim["index_w2a"], tim["mask_a2w"], tim["mask_w2a"])
         else:
@@ -559,7 +602,7 @@ class MixedAttention(nn.Module):
                        else self.stripe_groups_cfg)
             x_stripe = StripeAttention(
                 ssize, sgroups, self.stripe_shift, self.num_heads_s,
-                self.euclidean_dist, name="stripe_attn",
+                self.euclidean_dist, self.d_major, name="stripe_attn",
             )(qkv_stripe, tim["table_s"], tim["index_w2a"], tim["mask_w2a"])
 
         x = jnp.concatenate([x_window, x_stripe], axis=-1)
@@ -593,6 +636,7 @@ class EfficientMixAttnTransformerBlock(nn.Module):
     double_window: bool = False
     stripe_square: bool = False
     use_pallas: bool = False
+    d_major: bool = False
     # static attribute (not a call arg) so nn.remat needs no static_argnums
     deterministic: bool = True
     dtype: object = None
@@ -629,7 +673,7 @@ class EfficientMixAttnTransformerBlock(nn.Module):
             self.qkv_proj_type, self.anchor_proj_type, self.anchor_one_stage,
             self.anchor_window_down_factor, self.separable_conv_act,
             self.euclidean_dist, self.double_window, self.stripe_square,
-            self.use_pallas, dtype=self.dtype, name="attn",
+            self.use_pallas, self.d_major, dtype=self.dtype, name="attn",
         )
 
         def dp(y):

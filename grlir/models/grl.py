@@ -67,6 +67,10 @@ class GRLConfig:
     stripe_square: bool = False
     # fused Pallas attention kernels (forward/inference path; TPU only)
     use_pallas_attention: bool = False
+    # token-minor attention layout: on TPU the minor dim pads to 128 lanes,
+    # so head_dim=32-minor attention operands cost 4x HBM; "dn" puts the
+    # token axis minor (2x instead).  Numerics identical; layout only.
+    attn_layout: str = "nd"  # "nd" (torch-like) | "dn" (token-minor)
     num_out_feats: int = 64
     remat: bool = False  # jax.checkpoint each transformer block
     # computation dtype ("float32" | "bfloat16"); params always float32
@@ -178,6 +182,7 @@ class TransformerStage(nn.Module):
                 double_window=cfg.double_window,
                 stripe_square=cfg.stripe_square,
                 use_pallas=cfg.use_pallas_attention,
+                d_major=cfg.attn_layout == "dn",
                 deterministic=deterministic,
                 dtype=cfg.compute_dtype,
                 name=f"blocks_{i}",

@@ -136,3 +136,33 @@ def test_noise_level_map_model_in4():
     x = jnp.asarray(np.random.default_rng(1).random((1, 32, 32, 4)), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x)
     assert model.apply(params, x).shape == (1, 32, 32, 3)
+
+
+def test_attn_layout_dn_matches_nd():
+    """d-major ("dn") attention layout is numerics-identical to the default:
+    only the TPU memory layout of attention operands changes."""
+    from dataclasses import replace
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from grlir.models.grl import GRL, GRLConfig
+
+    cfg = GRLConfig(
+        embed_dim=32, upscale=2, upsampler="pixelshuffledirect", depths=(2,),
+        num_heads_window=(2,), num_heads_stripe=(2,), window_size=8,
+        mlp_ratio=2, stripe_size=(8, None), stripe_groups=(None, 4),
+        stripe_shift=True, anchor_window_down_factor=4, drop_path_rate=0.0,
+    )
+    x = jnp.asarray(np.random.default_rng(3).random((1, 32, 32, 3)), jnp.float32)
+    model = GRL(cfg)
+    params = model.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(model.apply(params, x))
+    got = np.asarray(GRL(replace(cfg, attn_layout="dn")).apply(params, x))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+    # composes with the pallas route (kernels get nd-layout views)
+    got_p = np.asarray(
+        GRL(replace(cfg, attn_layout="dn", use_pallas_attention=True)).apply(
+            params, x))
+    np.testing.assert_allclose(got_p, want, atol=5e-5, rtol=1e-4)

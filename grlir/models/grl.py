@@ -25,7 +25,7 @@ from grlir.models.blocks import (
     dense,
     layer_norm,
 )
-from grlir.ops.geometry import GeometryConfig, build_geometry
+from grlir.ops.geometry import GeometryConfig, build_geometry_compact
 from grlir.ops.layout import nearest_upsample, pad_to_multiple, pixel_shuffle
 
 Size2 = Tuple[int, int]
@@ -98,13 +98,23 @@ class GRLConfig:
         return self.geometry_config.pad_size
 
     def geometry(self, x_size: Size2) -> Dict[str, np.ndarray]:
-        """Host-side geometry for one padded resolution (cached)."""
+        """Host-side compact geometry for one padded resolution (cached).
+
+        Masks come factorized as band maps (see build_geometry_compact) so the
+        traced program embeds KBs, not the dense (nW, N, N) masks."""
         return _cached_geometry(self.geometry_config, x_size)
 
 
 @functools.lru_cache(maxsize=64)
 def _cached_geometry(gcfg: GeometryConfig, x_size: Size2):
-    return build_geometry(gcfg, x_size)
+    return build_geometry_compact(gcfg, x_size)
+
+
+def _inflate_mask(bands_q, bands_k):
+    """(nW, N1) x (nW, N2) band maps -> (nW, N1, N2) additive {0, MASK_NEG}
+    mask, computed on device (geometry.py calculate_mask/_all semantics)."""
+    diff = bands_q[:, :, None] != bands_k[:, None, :]
+    return jnp.where(diff, jnp.float32(-100.0), jnp.float32(0.0))
 
 
 class LastConv3(nn.Module):
@@ -210,9 +220,20 @@ class GRL(nn.Module):
             mean = jnp.zeros((1, 1, 1, 1), x.dtype)
         x = (x - mean) * cfg.img_range
 
+        raw = cfg.geometry((x.shape[1], x.shape[2]))
         geometry = {
-            k: jnp.asarray(v) for k, v in cfg.geometry((x.shape[1], x.shape[2])).items()
+            k: jnp.asarray(v) for k, v in raw.items()
+            if not k.startswith("bands_")
         }
+        # dense masks inflated on device from the tiny band maps (unused masks
+        # are DCE'd when the corresponding shift is off)
+        bw = jnp.asarray(raw["bands_w"])
+        geometry["mask_w"] = _inflate_mask(bw, bw)
+        for s in ("sh", "sv"):
+            b = jnp.asarray(raw[f"bands_{s}"])
+            ba = jnp.asarray(raw[f"bands_{s}_a"])
+            geometry[f"mask_{s}_a2w"] = _inflate_mask(ba, b)
+            geometry[f"mask_{s}_w2a"] = _inflate_mask(b, ba)
 
         def features(feat):
             feat = layer_norm(feat, name="norm_start")

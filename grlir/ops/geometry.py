@@ -253,6 +253,48 @@ class GeometryConfig:
         return max(self.window_size[0], self.window_size[1], max_ss, max_sg)
 
 
+def build_geometry_compact(cfg: GeometryConfig, x_size: Size2) -> dict:
+    """Tables, indices and *factorized* shift masks for one padded resolution.
+
+    The (nW, N1, N2) shift masks are rank-1 factorizable: mask[w, i, j] is
+    MASK_NEG iff band[w, i] != band[w, j], where the band maps come from
+    ``fill_window``.  Embedding the full masks as compile-time constants
+    explodes the serialized program (window 32 at 256² is a 268 MB constant —
+    the remote TPU compile service rejects the payload), so the model embeds
+    only the (nW, N) band maps and inflates the masks on device, once per
+    forward.  See build_geometry for the dense variant used by tests.
+    """
+    ss, sss = get_stripe_info(cfg.stripe_size, cfg.stripe_groups, True, x_size)
+    sv, svs = get_stripe_info(
+        cfg.stripe_size[::-1], cfg.stripe_groups[::-1], True, x_size
+    )
+    df = cfg.anchor_window_down_factor
+    w = cfg.window_size
+    shift = tuple(s // 2 for s in w)
+
+    def bands(res, win, sh):
+        return fill_window(res, win, sh).astype(np.int32)
+
+    a_res = tuple(s // df for s in x_size)
+    return {
+        "table_w": get_relative_coords_table(w, cfg.pretrained_window_size),
+        "table_sh": get_relative_coords_table(ss, cfg.pretrained_stripe_size, df),
+        "table_sv": get_relative_coords_table(sv, cfg.pretrained_stripe_size, df),
+        "index_w": get_relative_position_index(w),
+        "index_sh_a2w": get_relative_position_index(ss, df, False),
+        "index_sh_w2a": get_relative_position_index(ss, df, True),
+        "index_sv_a2w": get_relative_position_index(sv, df, False),
+        "index_sv_w2a": get_relative_position_index(sv, df, True),
+        "bands_w": bands(x_size, w, shift),
+        "bands_sh": bands(x_size, ss, sss),
+        "bands_sh_a": bands(a_res, tuple(s // df for s in ss),
+                            tuple(s // df for s in sss)),
+        "bands_sv": bands(x_size, sv, svs),
+        "bands_sv_a": bands(a_res, tuple(s // df for s in sv),
+                            tuple(s // df for s in svs)),
+    }
+
+
 def build_geometry(cfg: GeometryConfig, x_size: Size2) -> dict:
     """All tables/indices/masks for one padded resolution.
 

@@ -188,3 +188,62 @@ def test_build_geometry_shapes():
     assert g["mask_sh_w2a"].shape == ((64 // 8) * (64 // 16), 128, 8)
     assert g["mask_sv_a2w"].shape == ((64 // 16) * (64 // 8), 8, 128)
     assert g["index_w"].shape == (64, 64)
+
+
+def test_compact_geometry_bands_equal_dense_masks():
+    """build_geometry_compact band maps inflate to exactly the dense masks
+    (the model embeds bands and inflates on device to keep compiled-program
+    constants small; window 32 dense masks are 100s of MB)."""
+    import numpy as np
+
+    from grlir.ops.geometry import (GeometryConfig, build_geometry,
+                                    build_geometry_compact)
+
+    def infl(q, k):
+        return np.where(q[:, :, None] != k[:, None, :], -100.0, 0.0).astype(
+            np.float32)
+
+    for x_size, w in [((64, 64), (8, 8)), ((64, 96), (8, 8)),
+                      ((96, 96), (32, 32))]:
+        cfg = GeometryConfig(window_size=w, stripe_size=(8, None),
+                             stripe_groups=(None, 4),
+                             anchor_window_down_factor=4)
+        dense = build_geometry(cfg, x_size)
+        comp = build_geometry_compact(cfg, x_size)
+        np.testing.assert_array_equal(
+            infl(comp["bands_w"], comp["bands_w"]), dense["mask_w"])
+        for s in ("sh", "sv"):
+            b, ba = comp[f"bands_{s}"], comp[f"bands_{s}_a"]
+            np.testing.assert_array_equal(infl(ba, b), dense[f"mask_{s}_a2w"])
+            np.testing.assert_array_equal(infl(b, ba), dense[f"mask_{s}_w2a"])
+        # non-mask entries identical between the two builders
+        for key in dense:
+            if not key.startswith("mask_"):
+                np.testing.assert_array_equal(comp[key], dense[key])
+
+
+def test_compiled_program_stays_small_with_big_windows():
+    """Lowered program text must not embed dense masks (remote TPU compile
+    rejects >~150MB payloads; window-32 masks alone are 268MB)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from grlir.models.grl import GRL, GRLConfig
+
+    cfg = GRLConfig(
+        embed_dim=16, upscale=1, upsampler="", depths=(1,),
+        num_heads_window=(2,), num_heads_stripe=(2,), window_size=32,
+        mlp_ratio=1, stripe_size=(32, 32), stripe_groups=(None, None),
+        stripe_shift=True, anchor_window_down_factor=2,
+        local_connection=False,
+    )
+    model = GRL(cfg)
+    x = jnp.asarray(np.random.default_rng(0).random((1, 64, 64, 3)),
+                    jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    text = jax.jit(model.apply).lower(params, x).as_text()
+    # the five dense masks alone would be ~80MB at this size (and 268MB at
+    # the GRL-base eval geometry); with band factorization only the
+    # window-geometry index constants remain (~13MB text here)
+    assert len(text) < 20_000_000, f"lowered program is {len(text)/1e6:.1f} MB"

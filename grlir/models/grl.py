@@ -110,11 +110,13 @@ def _cached_geometry(gcfg: GeometryConfig, x_size: Size2):
     return build_geometry_compact(gcfg, x_size)
 
 
-def _inflate_mask(bands_q, bands_k):
+def _inflate_mask(bands_q, bands_k, dtype=jnp.float32):
     """(nW, N1) x (nW, N2) band maps -> (nW, N1, N2) additive {0, MASK_NEG}
-    mask, computed on device (geometry.py calculate_mask/_all semantics)."""
+    mask, computed on device (geometry.py calculate_mask/_all semantics).
+    Emitted in the compute dtype ({0, -100} is exact in bf16) so the per-use
+    reads cost half under bf16."""
     diff = bands_q[:, :, None] != bands_k[:, None, :]
-    return jnp.where(diff, jnp.float32(-100.0), jnp.float32(0.0))
+    return jnp.where(diff, jnp.asarray(-100.0, dtype), jnp.asarray(0.0, dtype))
 
 
 class LastConv3(nn.Module):
@@ -228,12 +230,12 @@ class GRL(nn.Module):
         # dense masks inflated on device from the tiny band maps (unused masks
         # are DCE'd when the corresponding shift is off)
         bw = jnp.asarray(raw["bands_w"])
-        geometry["mask_w"] = _inflate_mask(bw, bw)
+        geometry["mask_w"] = _inflate_mask(bw, bw, cfg.compute_dtype)
         for s in ("sh", "sv"):
             b = jnp.asarray(raw[f"bands_{s}"])
             ba = jnp.asarray(raw[f"bands_{s}_a"])
-            geometry[f"mask_{s}_a2w"] = _inflate_mask(ba, b)
-            geometry[f"mask_{s}_w2a"] = _inflate_mask(b, ba)
+            geometry[f"mask_{s}_a2w"] = _inflate_mask(ba, b, cfg.compute_dtype)
+            geometry[f"mask_{s}_w2a"] = _inflate_mask(b, ba, cfg.compute_dtype)
 
         def features(feat):
             feat = layer_norm(feat, name="norm_start")

@@ -32,10 +32,16 @@ class Restorer:
         tile_overlap: int = 0,
         tile_batch: int = 1,
         mesh=None,
+        shape_bucket: int = 0,
     ):
         """mesh: optional jax.sharding.Mesh — tiles are then sharded over the
         `data` axis so a multi-chip slice restores one large image in parallel
-        (the spatial analogue of sequence parallelism, SURVEY.md §2.7)."""
+        (the spatial analogue of sequence parallelism, SURVEY.md §2.7).
+
+        shape_bucket: whole-image mode pads H/W up to the next multiple of
+        this (reflect) and crops the output, so a val set of assorted sizes
+        compiles O(1) programs instead of one per distinct shape
+        (SURVEY.md §7 padded-shape discipline; XLA compiles per static shape)."""
         if mesh is not None:
             from grlir.parallel.mesh import batch_sharding, replicated
 
@@ -53,12 +59,28 @@ class Restorer:
         self.tile = tile
         self.tile_overlap = tile_overlap
         self.tile_batch = tile_batch
+        self.shape_bucket = shape_bucket
 
     def __call__(self, img: np.ndarray) -> np.ndarray:
         """img: (B, H, W, C) float32 in [0,1] -> (B, H*scale, W*scale, C_out)."""
         if self.tile == 0:
+            if self.shape_bucket:
+                return self._forward_bucketed(img)
             return np.asarray(self.apply_fn(self.params, jnp.asarray(img)))
         return self.forward_tile(img)
+
+    def _forward_bucketed(self, img: np.ndarray) -> np.ndarray:
+        b, h, w, _ = img.shape
+        m = self.shape_bucket
+        ph, pw = -h % m, -w % m
+        if ph or pw:
+            # reflect like the model's own pad_to_multiple; fall back to edge
+            # padding for pads wider than the image
+            mode = "reflect" if (ph < h and pw < w) else "edge"
+            img = np.pad(img, ((0, 0), (0, ph), (0, pw), (0, 0)), mode=mode)
+        out = np.asarray(self.apply_fn(self.params, jnp.asarray(img)))
+        sf = self.scale
+        return out[:, : h * sf, : w * sf]
 
     def forward_tile(self, img: np.ndarray) -> np.ndarray:
         b, h, w, _ = img.shape

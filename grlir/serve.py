@@ -2,7 +2,7 @@
 
     python -m grlir.serve --input lr_dir --output out_dir \
         --checkpoint sr_grl_small_c3x4.ckpt --model small --task sr --scale 4 \
-        [--tile 640 --tile-overlap 32] [--dtype bfloat16]
+        [--tile 640 --tile-overlap 32] [--shape-bucket 64] [--dtype bfloat16]
 
 Accepts released PyTorch .ckpt files (converted on the fly), flax .msgpack files
 (from `python -m grlir.utils.convert`), or grlir orbax checkpoint directories.
@@ -47,6 +47,9 @@ def main(argv=None):
     ap.add_argument("--scale", type=int, default=4)
     ap.add_argument("--tile", type=int, default=0)
     ap.add_argument("--tile-overlap", type=int, default=32)
+    ap.add_argument("--shape-bucket", type=int, default=64,
+                    help="whole-image mode: pad H/W up to multiples of this "
+                         "so assorted sizes share compiled programs (0=off)")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
     args = ap.parse_args(argv)
@@ -72,7 +75,8 @@ def main(argv=None):
 
     scale = cfg.upscale
     restorer = Restorer(lambda p, x: model.apply(p, x), params, scale=scale,
-                        tile=args.tile, tile_overlap=args.tile_overlap)
+                        tile=args.tile, tile_overlap=args.tile_overlap,
+                        shape_bucket=args.shape_bucket)
 
     paths = ([args.input] if osp.isfile(args.input) else sorted(
         osp.join(args.input, f) for f in os.listdir(args.input)

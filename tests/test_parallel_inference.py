@@ -31,3 +31,40 @@ def test_mesh_sharded_tiling_matches_single_device():
     b = sharded(img)
     assert a.shape == b.shape == (1, 128, 160, 3)
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_shape_bucketing_compiles_one_program():
+    """shape_bucket pads assorted image sizes to canonical shapes: outputs
+    match the unbucketed path near the valid region and only one program is
+    compiled per bucket (SURVEY.md §7 padded-shape discipline)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from grlir.engines.inference import Restorer
+
+    calls = []
+
+    def apply_fn(params, x):
+        # shape-polymorphic stand-in model: records traced shapes
+        calls.append(tuple(x.shape))
+        return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+    r = Restorer(apply_fn, params=None, scale=2, shape_bucket=16)
+    rng = np.random.default_rng(0)
+    shapes = [(1, 30, 41, 3), (1, 31, 47, 3), (1, 17, 33, 3)]
+    for s in shapes:
+        x = rng.random(s).astype(np.float32)
+        y = r(x)
+        assert y.shape == (1, s[1] * 2, s[2] * 2, 3)
+        # interior matches plain upsampling (padding only affects the pad area)
+        ref = np.repeat(np.repeat(x, 2, axis=1), 2, axis=2)
+        np.testing.assert_allclose(y, ref, atol=1e-6)
+    # 30x41 and 31x47 both bucket to 32x48; 17x33 to 32x48 too -> ONE shape
+    assert set(calls) == {(1, 32, 48, 3)}, calls
+
+    # probe: image smaller than one bucket pad (pad wider than image -> edge)
+    tiny = rng.random((1, 3, 5, 3)).astype(np.float32)
+    y = r(tiny)
+    assert y.shape == (1, 6, 10, 3)
+    assert np.isfinite(y).all()

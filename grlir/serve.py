@@ -50,6 +50,9 @@ def main(argv=None):
     ap.add_argument("--shape-bucket", type=int, default=64,
                     help="whole-image mode: pad H/W up to multiples of this "
                          "so assorted sizes share compiled programs (0=off)")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="restore up to N same-bucket images per device "
+                         "dispatch (whole-image mode)")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
     args = ap.parse_args(argv)
@@ -83,16 +86,52 @@ def main(argv=None):
         if f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp"))))
     os.makedirs(args.output, exist_ok=True)
 
+    # group same-bucket images into batches: one device dispatch restores
+    # up to --batch images (dispatch overhead amortizes; shapes stay static)
+    def bucket_key(shape):
+        m = args.shape_bucket
+        if not m or args.tile:
+            return shape
+        return (-(-shape[0] // m) * m, -(-shape[1] // m) * m)
+
+    imgs = []
     for p in paths:
         img = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
-        x = img.astype(np.float32)[None] / 255.0
-        t0 = time.time()
-        out = restorer(x)[0]
-        dt = time.time() - t0
-        dst = osp.join(args.output, osp.basename(p))
-        cv2.imwrite(dst, cv2.cvtColor(to_uint8(out), cv2.COLOR_RGB2BGR))
-        print(f"{osp.basename(p)}: {img.shape[1]}x{img.shape[0]} -> "
-              f"{out.shape[1]}x{out.shape[0]} in {dt:.2f}s -> {dst}")
+        imgs.append((p, img))
+
+    groups = {}
+    for p, img in imgs:
+        groups.setdefault(bucket_key(img.shape[:2]), []).append((p, img))
+
+    for key, members in groups.items():
+        for s in range(0, len(members), max(args.batch, 1)):
+            chunk = members[s: s + max(args.batch, 1)]
+            # pad each member straight to the group's canonical shape in ONE
+            # reflect (identical to the single-image bucketed path) — global
+            # stripe attention sees the pad content, so double-padding would
+            # change outputs everywhere, not just at borders
+            if args.shape_bucket and not args.tile:
+                hmax, wmax = key
+            else:
+                hmax = max(im.shape[0] for _, im in chunk)
+                wmax = max(im.shape[1] for _, im in chunk)
+            batch = np.zeros((len(chunk), hmax, wmax, 3), np.float32)
+            for i, (_, im) in enumerate(chunk):
+                ph, pw = hmax - im.shape[0], wmax - im.shape[1]
+                mode = ("reflect" if ph < im.shape[0] and pw < im.shape[1]
+                        else "edge")
+                batch[i] = np.pad(im.astype(np.float32) / 255.0,
+                                  ((0, ph), (0, pw), (0, 0)), mode=mode)
+            t0 = time.time()
+            outs = restorer(batch)
+            dt = time.time() - t0
+            for i, (p, im) in enumerate(chunk):
+                out = outs[i, : im.shape[0] * scale, : im.shape[1] * scale]
+                dst = osp.join(args.output, osp.basename(p))
+                cv2.imwrite(dst, cv2.cvtColor(to_uint8(out), cv2.COLOR_RGB2BGR))
+                print(f"{osp.basename(p)}: {im.shape[1]}x{im.shape[0]} -> "
+                      f"{out.shape[1]}x{out.shape[0]} in {dt/len(chunk):.2f}s"
+                      f" -> {dst}")
 
 
 if __name__ == "__main__":

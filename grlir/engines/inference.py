@@ -16,6 +16,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def reflect_pad_to(img: np.ndarray, target_hw: Tuple[int, int]) -> np.ndarray:
+    """Pad (..., H, W, C) to target (H', W') bottom/right with reflect
+    (edge when a pad exceeds the image — numpy reflect limit).
+
+    INVARIANT: images must be padded to their canonical shape in ONE reflect.
+    GRL's stripe attention is global over the padded canvas, so chained pads
+    (e.g. member->batch-max then batch->bucket) change the restored output
+    everywhere, not just at borders.
+    """
+    h, w = img.shape[-3], img.shape[-2]
+    ph, pw = target_hw[0] - h, target_hw[1] - w
+    if ph == 0 and pw == 0:
+        return img
+    assert ph >= 0 and pw >= 0, (img.shape, target_hw)
+    pad = [(0, 0)] * (img.ndim - 3) + [(0, ph), (0, pw), (0, 0)]
+    mode = "reflect" if (ph < h and pw < w) else "edge"
+    return np.pad(img, pad, mode=mode)
+
+
 class Restorer:
     """Callable wrapper around a jitted model apply with tiling support.
 
@@ -72,12 +91,7 @@ class Restorer:
     def _forward_bucketed(self, img: np.ndarray) -> np.ndarray:
         b, h, w, _ = img.shape
         m = self.shape_bucket
-        ph, pw = -h % m, -w % m
-        if ph or pw:
-            # reflect like the model's own pad_to_multiple; fall back to edge
-            # padding for pads wider than the image
-            mode = "reflect" if (ph < h and pw < w) else "edge"
-            img = np.pad(img, ((0, 0), (0, ph), (0, pw), (0, 0)), mode=mode)
+        img = reflect_pad_to(img, (h + (-h % m), w + (-w % m)))
         out = np.asarray(self.apply_fn(self.params, jnp.asarray(img)))
         sf = self.scale
         return out[:, : h * sf, : w * sf]

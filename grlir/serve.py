@@ -115,13 +115,12 @@ def main(argv=None):
             else:
                 hmax = max(im.shape[0] for _, im in chunk)
                 wmax = max(im.shape[1] for _, im in chunk)
-            batch = np.zeros((len(chunk), hmax, wmax, 3), np.float32)
-            for i, (_, im) in enumerate(chunk):
-                ph, pw = hmax - im.shape[0], wmax - im.shape[1]
-                mode = ("reflect" if ph < im.shape[0] and pw < im.shape[1]
-                        else "edge")
-                batch[i] = np.pad(im.astype(np.float32) / 255.0,
-                                  ((0, ph), (0, pw), (0, 0)), mode=mode)
+            from grlir.engines.inference import reflect_pad_to
+
+            batch = np.stack([
+                reflect_pad_to(im.astype(np.float32) / 255.0, (hmax, wmax))
+                for _, im in chunk
+            ])
             t0 = time.time()
             outs = restorer(batch)
             dt = time.time() - t0

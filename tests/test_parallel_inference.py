@@ -68,3 +68,31 @@ def test_shape_bucketing_compiles_one_program():
     y = r(tiny)
     assert y.shape == (1, 6, 10, 3)
     assert np.isfinite(y).all()
+
+
+def test_reflect_pad_to_single_reflect_invariant():
+    """Padding to the canonical shape must equal ONE reflect from the true
+    size — a chained member->max->bucket pad produces different content and
+    (because stripe attention is global) a different restored image."""
+    import numpy as np
+
+    from grlir.engines.inference import reflect_pad_to
+
+    rng = np.random.default_rng(0)
+    im = rng.random((30, 41, 3)).astype(np.float32)
+    direct = reflect_pad_to(im, (32, 48))
+    chained = reflect_pad_to(reflect_pad_to(im, (31, 47)), (32, 48))
+    assert direct.shape == chained.shape == (32, 48, 3)
+    assert not np.array_equal(direct, chained)  # chained pads differ...
+    # ...and the valid region is untouched either way
+    np.testing.assert_array_equal(direct[:30, :41], im)
+    # exact reflect semantics on a known row
+    np.testing.assert_array_equal(direct[30], direct[28])
+    np.testing.assert_array_equal(direct[31], direct[27])
+    # tiny image falls back to edge padding
+    tiny = rng.random((2, 3, 3)).astype(np.float32)
+    out = reflect_pad_to(tiny, (8, 8))
+    np.testing.assert_array_equal(out[7, 7], tiny[1, 2])
+    # batch form pads the trailing spatial dims
+    b = reflect_pad_to(rng.random((2, 30, 41, 3)).astype(np.float32), (32, 48))
+    assert b.shape == (2, 32, 48, 3)

@@ -281,7 +281,7 @@ class WindowAttention(nn.Module):
     d_major: bool = False
 
     @nn.compact
-    def __call__(self, qkv, table, index, mask):
+    def __call__(self, qkv, table, index, mask, bands=None):
         # qkv: (B, H, W, 3*Cw)
         B, H, W, _ = qkv.shape
         shift = self.window_size[0] // 2 if self.window_shift else 0
@@ -290,15 +290,24 @@ class WindowAttention(nn.Module):
             qkv = jnp.roll(qkv, (-shift, -shift), axis=(1, 2))
 
         qkv = window_partition(qkv, self.window_size)  # (B, nW, N, 3C)
-        q, k, v = _split_qkv_heads(qkv, self.num_heads, self.d_major)
-
         transform = AffineTransform(self.num_heads, name="attn_transform")
-        x = cosine_attention(q, k, v, transform, table, index,
-                             mask if self.window_shift else None,
-                             self.euclidean_dist, self.use_pallas,
-                             self.d_major)
 
-        x = _merge_heads(x, self.d_major)
+        if self.use_pallas and not self.euclidean_dist:
+            # v2 fused path: head split, both matmuls, bias/mask/softmax and
+            # head merge all in VMEM — per-head tensors and attention
+            # matrices never reach HBM
+            from grlir.ops.pallas.attention import fused_window_attention_qkv
+
+            x = fused_window_attention_qkv(
+                qkv, transform.logit_scale, transform.bias(table, index),
+                self.num_heads,
+                bands if (self.window_shift and bands is not None) else None)
+        else:
+            q, k, v = _split_qkv_heads(qkv, self.num_heads, self.d_major)
+            x = cosine_attention(q, k, v, transform, table, index,
+                                 mask if self.window_shift else None,
+                                 self.euclidean_dist, False, self.d_major)
+            x = _merge_heads(x, self.d_major)
         x = window_reverse(x, self.window_size, (H, W))
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
@@ -575,13 +584,15 @@ class MixedAttention(nn.Module):
             self.window_size, self.num_heads_w, self.window_shift,
             self.euclidean_dist, self.use_pallas, self.d_major,
             name="window_attn",
-        )(qkv_window, tim["table_w"], tim["index_w"], tim["mask_w"])
+        )(qkv_window, tim["table_w"], tim["index_w"], tim["mask_w"],
+          tim.get("bands_w"))
 
         if self.double_window:
             x_stripe = WindowAttention(
                 self.window_size, self.num_heads_w, self.window_shift,
                 self.euclidean_dist, d_major=self.d_major, name="stripe_attn",
-            )(qkv_stripe, tim["table_w"], tim["index_w"], tim["mask_w"])
+            )(qkv_stripe, tim["table_w"], tim["index_w"], tim["mask_w"],
+              tim.get("bands_w"))
         elif use_anchor:
             anchor = AnchorProjection(self.dim, self.anchor_proj_type,
                                       self.anchor_one_stage,
@@ -649,6 +660,7 @@ class EfficientMixAttnTransformerBlock(nn.Module):
             "table_w": g["table_w"],
             "index_w": g["index_w"],
             "mask_w": g["mask_w"],
+            "bands_w": g.get("bands_w"),
             "table_s": g[f"table_{s}"],
             "index_a2w": g[f"index_{s}_a2w"],
             "index_w2a": g[f"index_{s}_w2a"],

@@ -231,6 +231,7 @@ class GRL(nn.Module):
         # are DCE'd when the corresponding shift is off)
         bw = jnp.asarray(raw["bands_w"])
         geometry["mask_w"] = _inflate_mask(bw, bw, cfg.compute_dtype)
+        geometry["bands_w"] = bw  # fused kernels build the mask in-kernel
         for s in ("sh", "sv"):
             b = jnp.asarray(raw[f"bands_{s}"])
             ba = jnp.asarray(raw[f"bands_{s}_a"])

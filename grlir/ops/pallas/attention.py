@@ -154,6 +154,120 @@ def fused_cosine_attention(q, k, v, logit_scale, bias,
     return out.reshape(B, nW, h, N1, d)
 
 
+def _qkv_attention_kernel(qkv_ref, scale_ref, bias_ref, *rest,
+                          has_mask: bool, num_heads: int):
+    """v2 kernel: consumes the window-partitioned qkv block (G, N, 3C)
+    directly and writes (G, N, C).  The per-head split, both matmuls, the
+    bias/mask/softmax chain, and the head merge all stay in VMEM — the
+    (B, nW, h, N, d) operands and (nW, h, N, N) attention matrices of the
+    XLA lowering never reach HBM (they are the largest byte consumers of
+    the whole-model roofline; see NEXT.md).
+
+    Shift masks arrive factorized as per-window band ids (G, N) int32 and
+    are compared in-kernel (same semantics as geometry.calculate_mask).
+    """
+    if has_mask:
+        bands_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
+    # qkv block is channel-major (G, 3C, N): the head split then only touches
+    # non-minor dims (Mosaic cannot shape-cast the minor/lane dimension)
+    G, C3, N = qkv_ref.shape
+    C = C3 // 3
+    h = num_heads
+    d = C // h
+
+    x = qkv_ref[...].astype(jnp.float32)  # (G, 3C, N)
+    x = x.reshape(G, 3, h, d, N)  # channel order [3, h, d]
+    q = x[:, 0].reshape(G * h, d, N)
+    k = x[:, 1].reshape(G * h, d, N)
+    v = x[:, 2].reshape(G * h, d, N)
+
+    qn = q * jax.lax.rsqrt(jnp.maximum(jnp.sum(q * q, 1, keepdims=True), 1e-24))
+    kn = k * jax.lax.rsqrt(jnp.maximum(jnp.sum(k * k, 1, keepdims=True), 1e-24))
+
+    # attn[n, m] = sum_d qn[d, n] * kn[d, m]
+    attn = jax.lax.dot_general(
+        qn, kn,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(G, h, N, N)
+
+    attn = attn * scale_ref[...].reshape(1, -1, 1, 1) + bias_ref[...][None]
+    if has_mask:
+        b = bands_ref[...]  # (G, N) int32
+        neq = b[:, None, :] != b[:, :, None]  # (G, N, N)
+        attn = attn + jnp.where(neq, -100.0, 0.0)[:, None]
+
+    attn = jax.nn.softmax(attn, axis=-1)
+    # out[d, n] = sum_m v[d, m] * attn[n, m]
+    out = jax.lax.dot_general(
+        v, attn.reshape(G * h, N, N),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(G, C, N)
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
+def fused_window_attention_qkv(qkv, logit_scale, bias, num_heads: int,
+                               bands=None, block_windows: Optional[int] = None,
+                               interpret: Optional[bool] = None):
+    """Fused window attention from partitioned qkv.
+
+    qkv: (B, nW, N, 3C); bias: (h, N, N) fp32; logit_scale raw (h, 1, 1);
+    bands: optional (nW, N) int32 shift-mask band ids (geometry
+    build_geometry_compact) -> additive {0,-100} mask built in-kernel.
+    Returns (B, nW, N, C).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, nW, N, C3 = qkv.shape
+    C = C3 // 3
+    h = num_heads
+    W = B * nW
+    # channel-major so the in-kernel head split never touches the lane dim;
+    # minor N >= 64 also halves the padded HBM footprint vs d=32-minor
+    qf = jnp.swapaxes(qkv.reshape(W, N, C3), 1, 2)  # (W, 3C, N)
+
+    if block_windows is None:
+        # fp32 in-kernel footprint: qkv + q/k/v splits + attn + out
+        per_window = 4 * (2 * N * C3 + 3 * h * N * N + N * C)
+        g = max(1, min(W, (6 * 1024 * 1024) // max(per_window, 1)))
+        while W % g:
+            g -= 1
+        block_windows = g
+    G = block_windows
+    grid = (W // G,)
+
+    scale = jnp.exp(jnp.minimum(logit_scale, math.log(100.0))).reshape(h, 1)
+
+    in_specs = [
+        pl.BlockSpec((G, C3, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, N, N), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [qf, scale, bias.astype(jnp.float32)]
+    has_mask = bands is not None
+    if has_mask:
+        bands_full = jnp.broadcast_to(bands[None], (B, nW, N)).reshape(W, N)
+        in_specs.append(
+            pl.BlockSpec((G, N), lambda i: (i, 0), memory_space=pltpu.VMEM))
+        args.append(bands_full.astype(jnp.int32))
+
+    kernel = functools.partial(_qkv_attention_kernel, has_mask=has_mask,
+                               num_heads=h)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((G, C, N), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((W, C, N), qkv.dtype),
+        interpret=interpret,
+    )(*args)
+    return jnp.swapaxes(out, 1, 2).reshape(B, nW, N, C)
+
+
 def fused_cosine_attention_auto(q, k, v, logit_scale, bias,
                                 mask: Optional[jnp.ndarray] = None,
                                 interpret: Optional[bool] = None):

@@ -114,3 +114,33 @@ def test_packed_matches_xla(shape, with_mask, pack):
         q, k, v, logit_scale, bias, mask, pack=pack, groups_per_block=4,
         interpret=True))
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("with_bands", [False, True])
+@pytest.mark.parametrize("heads", [2, 4])
+def test_qkv_kernel_matches_xla(with_bands, heads):
+    """v2 kernel (partitioned qkv in, merged heads out) vs the XLA path."""
+    from grlir.ops.pallas.attention import fused_window_attention_qkv
+
+    B, nW, N, C = 2, 8, 64, 32
+    rng = np.random.default_rng(0)
+    qkv = jnp.asarray(rng.standard_normal((B, nW, N, 3 * C)), jnp.float32)
+    logit_scale = jnp.asarray(rng.uniform(0, 3, (heads, 1, 1)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((heads, N, N)), jnp.float32)
+    bands = None
+    mask = None
+    if with_bands:
+        bands = jnp.asarray(rng.integers(0, 9, (nW, N)), jnp.int32)
+        mask = jnp.where(bands[:, None, :] != bands[:, :, None], -100.0, 0.0)
+
+    # reference: split [3, h, d], attend, merge
+    d = C // heads
+    x = qkv.reshape(B, nW, N, 3, heads, d)
+    q, k, v = (jnp.moveaxis(x[..., i, :, :], -2, 2) for i in range(3))
+    want = np.asarray(_xla_reference(q, k, v, logit_scale, bias, mask))
+    want = np.asarray(want.transpose(0, 1, 3, 2, 4).reshape(B, nW, N, C))
+
+    got = np.asarray(fused_window_attention_qkv(
+        qkv, logit_scale, bias, heads, bands, block_windows=4,
+        interpret=True))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)

@@ -238,11 +238,19 @@ def cosine_attention(q, k, v, transform, table, index, mask,
 
 def _split_heads(x, num_heads, d_major: bool = False):
     """(B, nW, N, C) -> (B, nW, heads, N, C/heads), or (B, nW, heads, C/heads, N)
-    when d_major."""
+    when d_major.
+
+    The d_major path transposes to channel-major FIRST and only then splits
+    heads: the split then touches non-minor dims only (a free bitcast).  The
+    naive reshape-then-transpose materializes a (..., heads, d) intermediate
+    whose trailing dims pad to the (16, 128) TPU tile — a 32x blowup for
+    2 heads x 32 dims (1.8 GB per block at 384²; the dominant term of the
+    whole-model HBM roofline)."""
     B, nW, N, C = x.shape
-    x = x.reshape(B, nW, N, num_heads, C // num_heads)
     if d_major:
-        return x.transpose(0, 1, 3, 4, 2)
+        x = jnp.swapaxes(x, -1, -2)  # (B, nW, C, N): 2x-padded copy, once
+        return x.reshape(B, nW, num_heads, C // num_heads, N)
+    x = x.reshape(B, nW, N, num_heads, C // num_heads)
     return x.transpose(0, 1, 3, 2, 4)
 
 
@@ -250,22 +258,29 @@ def _merge_heads(x, d_major: bool = False):
     """(B, nW, heads, N, d) [or (B, nW, heads, d, N) when d_major]
     -> (B, nW, N, heads*d)."""
     if d_major:
+        # merge (heads, d) while still channel-major (free), then one swap
         B, nW, H, d, N = x.shape
-        return x.transpose(0, 1, 4, 2, 3).reshape(B, nW, N, H * d)
+        return jnp.swapaxes(x.reshape(B, nW, H * d, N), -1, -2)
     B, nW, H, N, d = x.shape
     return x.transpose(0, 1, 3, 2, 4).reshape(B, nW, N, H * d)
 
 
 def _split_qkv_heads(qkv, num_heads, d_major: bool = False):
-    """(B, nW, N, 3C) -> three (B, nW, heads, N, C/heads) [token-minor when
-    d_major], matching the reference channel order [3, heads, head_dim]."""
+    """(B, nW, N, 3C) -> three (B, nW, heads, N, C/heads) [token-minor
+    (B, nW, heads, C/heads, N) when d_major], matching the reference channel
+    order [3, heads, head_dim].
+
+    d_major transposes to channel-major first so the [3, heads, d] split is
+    a non-minor reshape (free); see _split_heads for why the naive order
+    costs a 32x-padded intermediate."""
     B, nW, N, C3 = qkv.shape
     C = C3 // 3
-    qkv = qkv.reshape(B, nW, N, 3, num_heads, C // num_heads)
     if d_major:
-        q, k, v = (qkv[..., i, :, :].transpose(0, 1, 3, 4, 2) for i in range(3))
-    else:
-        q, k, v = (jnp.moveaxis(qkv[..., i, :, :], -2, 2) for i in range(3))
+        x = jnp.swapaxes(qkv, -1, -2)  # (B, nW, 3C, N)
+        x = x.reshape(B, nW, 3, num_heads, C // num_heads, N)
+        return x[:, :, 0], x[:, :, 1], x[:, :, 2]
+    qkv = qkv.reshape(B, nW, N, 3, num_heads, C // num_heads)
+    q, k, v = (jnp.moveaxis(qkv[..., i, :, :], -2, 2) for i in range(3))
     return q, k, v
 
 

@@ -67,10 +67,14 @@ class GRLConfig:
     stripe_square: bool = False
     # fused Pallas attention kernels (forward/inference path; TPU only)
     use_pallas_attention: bool = False
-    # token-minor attention layout: on TPU the minor dim pads to 128 lanes,
-    # so head_dim=32-minor attention operands cost 4x HBM; "dn" puts the
-    # token axis minor (2x instead).  Numerics identical; layout only.
-    attn_layout: str = "nd"  # "nd" (torch-like) | "dn" (token-minor)
+    # Attention operand layout.  "dn" (default) keeps attention operands
+    # token-minor (B, nW, h, d, N) and — critically — splits heads AFTER a
+    # channel-major transpose, so no intermediate ever has trailing dims
+    # smaller than the (16, 128) TPU tile.  The torch-like "nd" order
+    # materializes a (..., 3, heads, head_dim) intermediate whose trailing
+    # (2, 32) dims pad 32x, costing ~13% whole-model throughput (measured
+    # 1.80 vs 1.59 MP/s, GRL-S x4 384² bf16).  Numerics identical.
+    attn_layout: str = "dn"  # "dn" (token-minor) | "nd" (torch-like)
     num_out_feats: int = 64
     remat: bool = False  # jax.checkpoint each transformer block
     # computation dtype ("float32" | "bfloat16"); params always float32

@@ -73,6 +73,36 @@ def conv2d(x, features: int, kernel_size: Size2 = (3, 3), strides: Size2 = (1, 1
     )(x)
 
 
+class PermutedOutConv(nn.Module):
+    """3x3 SAME conv whose OUTPUT channels are permuted at trace time.
+
+    Params are stored in the torch channel order (so checkpoints convert
+    unchanged, param path = {name}/kernel|bias exactly like conv2d's
+    nn.Conv) but the kernel/bias are re-indexed by ``perm`` before the conv
+    — a sub-MB gather — so downstream ops can assume the permuted order
+    (used to feed the reshape-only pixel_shuffle_jic)."""
+
+    features: int
+    perm: Tuple[int, ...]
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        fan_in = in_ch * 9
+        k = self.param("kernel", conv_kernel_init, (3, 3, in_ch, self.features))
+        b = self.param("bias", _conv_bias_init(fan_in), (self.features,))
+        perm = jnp.asarray(np.asarray(self.perm, np.int32))
+        kp, bp = k[..., perm], b[perm]
+        dt = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dt), kp.astype(dt), window_strides=(1, 1),
+            padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bp.astype(dt)
+
+
 def dense(x, features: int, use_bias: bool = True, *, name: str, dtype=None):
     """Linear with the reference's trunc-normal(0.02)/zero-bias init."""
     return nn.Dense(

@@ -21,12 +21,14 @@ from flax import linen as nn
 
 from grlir.models.blocks import (
     EfficientMixAttnTransformerBlock,
+    PermutedOutConv,
     conv2d,
     dense,
     layer_norm,
 )
 from grlir.ops.geometry import GeometryConfig, build_geometry_compact
-from grlir.ops.layout import nearest_upsample, pad_to_multiple, pixel_shuffle
+from grlir.ops.layout import (nearest_upsample, pad_to_multiple,
+                              pixel_shuffle_jic, shuffle_channel_perm)
 
 Size2 = Tuple[int, int]
 
@@ -272,19 +274,26 @@ class GRL(nn.Module):
             scale = cfg.upscale
             if (scale & (scale - 1)) == 0:
                 for i in range(int(math.log2(scale))):
-                    x = conv2d(x, 4 * nf, name=f"upsample_{i}", dtype=cfg.compute_dtype)
-                    x = pixel_shuffle(x, 2)
+                    x = PermutedOutConv(
+                        4 * nf, tuple(shuffle_channel_perm(nf, 2)),
+                        dtype=cfg.compute_dtype, name=f"upsample_{i}")(x)
+                    x = pixel_shuffle_jic(x, 2)
             elif scale == 3:
-                x = conv2d(x, 9 * nf, name="upsample_0", dtype=cfg.compute_dtype)
-                x = pixel_shuffle(x, 3)
+                x = PermutedOutConv(
+                    9 * nf, tuple(shuffle_channel_perm(nf, 3)),
+                    dtype=cfg.compute_dtype, name="upsample_0")(x)
+                x = pixel_shuffle_jic(x, 3)
             else:
                 raise ValueError(f"unsupported scale {scale}")
             x = conv2d(x, out_ch, name="conv_last", dtype=cfg.compute_dtype)
         elif cfg.upsampler == "pixelshuffledirect":
             x = conv2d(x, cfg.embed_dim, name="conv_first", dtype=cfg.compute_dtype)
             x = body(x)
-            x = conv2d(x, cfg.upscale**2 * out_ch, name="upsample_0", dtype=cfg.compute_dtype)
-            x = pixel_shuffle(x, cfg.upscale)
+            x = PermutedOutConv(
+                cfg.upscale**2 * out_ch,
+                tuple(shuffle_channel_perm(out_ch, cfg.upscale)),
+                dtype=cfg.compute_dtype, name="upsample_0")(x)
+            x = pixel_shuffle_jic(x, cfg.upscale)
         elif cfg.upsampler == "nearest+conv":
             assert cfg.upscale == 4, "nearest+conv tail supports x4 only"
             x = conv2d(x, cfg.embed_dim, name="conv_first", dtype=cfg.compute_dtype)

@@ -50,6 +50,43 @@ def pixel_shuffle(x: jnp.ndarray, scale: int) -> jnp.ndarray:
     return x.reshape(B, H * r, W * r, oc)
 
 
+def pixel_shuffle_jic(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """Reshape-only pixel shuffle for (j, i, c)-ordered channels.
+
+    Expects input channel index j*(r*oc) + i*oc + c (instead of torch's
+    c*r^2 + i*r + j); the producing conv's weights are permuted accordingly
+    (see shuffle_channel_perm).  Equivalent output to pixel_shuffle, but the
+    interleaves are pure row-major reshapes + two clean transposes — the
+    torch-order implementation materializes a 6D intermediate with trailing
+    (r, r) dims that pad to the (16, 128) TPU tile (a 4.8 GB copy at 384²
+    x4; measured as the single largest layout op in the compiled forward).
+    """
+    B, H, W, C = x.shape
+    r = scale
+    oc = C // (r * r)
+    x = x.reshape(B, H, W * r, r * oc)   # (w, j*(r*oc)+t) -> (w*r+j, t)
+    x = x.transpose(0, 2, 1, 3)          # (B, W*r, H, r*oc)
+    x = x.reshape(B, W * r, H * r, oc)   # (h, i*oc+c) -> (h*r+i, c)
+    return x.transpose(0, 2, 1, 3)       # (B, H*r, W*r, oc)
+
+
+def shuffle_channel_perm(out_channels: int, scale: int):
+    """old-channel index for each new (j, i, c)-ordered channel.
+
+    new = j*(r*oc) + i*oc + c  holds torch channel  old = c*r^2 + i*r + j.
+    Apply to the producing conv's kernel/bias out axis: kp = k[..., perm].
+    """
+    import numpy as np
+
+    r, oc = scale, out_channels
+    perm = np.empty(r * r * oc, np.int32)
+    for j in range(r):
+        for i in range(r):
+            for c in range(oc):
+                perm[j * r * oc + i * oc + c] = c * r * r + i * r + j
+    return perm
+
+
 def nearest_upsample(x: jnp.ndarray, scale: int) -> jnp.ndarray:
     """NHWC nearest-neighbour upsampling (torch F.interpolate mode='nearest')."""
     B, H, W, C = x.shape

@@ -77,3 +77,20 @@ def test_cost_analysis_and_timer():
     for _ in range(5):
         t.tick()
     assert t.steps_per_sec > 0
+
+
+def test_pixel_shuffle_jic_equivalence():
+    """reshape-only shuffle on perm-ordered channels == torch-order shuffle."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from grlir.ops.layout import (pixel_shuffle, pixel_shuffle_jic,
+                                  shuffle_channel_perm)
+
+    rng = np.random.default_rng(0)
+    for r, oc in [(2, 5), (3, 4), (4, 3)]:
+        x = jnp.asarray(rng.random((2, 6, 9, oc * r * r)), jnp.float32)
+        want = np.asarray(pixel_shuffle(x, r))
+        perm = shuffle_channel_perm(oc, r)
+        got = np.asarray(pixel_shuffle_jic(x[..., perm], r))
+        np.testing.assert_array_equal(got, want)

@@ -343,10 +343,15 @@ class WindowAttention(nn.Module):
             # matrices never reach HBM
             from grlir.ops.pallas.attention import fused_window_attention_qkv
 
+            if self.window_shift and bands is None:
+                # the fused kernel builds the shift mask from band ids;
+                # silently dropping it would corrupt shifted windows
+                raise ValueError(
+                    "use_pallas window attention with window_shift requires "
+                    "band ids (geometry['bands_w'])")
             x = fused_window_attention_qkv(
                 qkv, transform.logit_scale, transform.bias(table, index),
-                self.num_heads,
-                bands if (self.window_shift and bands is not None) else None)
+                self.num_heads, bands if self.window_shift else None)
         else:
             q, k, v = _split_qkv_heads(qkv, self.num_heads, self.d_major)
             x = cosine_attention(q, k, v, transform, table, index,

@@ -113,3 +113,50 @@ def test_serve_cli(tmp_path):
         assert res.shape == (80, 112, 3)
     finally:
         zoo.make_config = orig
+
+
+def test_serve_bucket_batching_matches_serial(tmp_path):
+    """--shape-bucket + --batch: same-bucket images restored per-dispatch must
+    be bit-identical to serial whole-image restoration (single-reflect
+    invariant — global stripe attention sees pad content)."""
+    import cv2
+    import jax
+    from flax import serialization
+
+    from grlir.models import zoo
+    from grlir.models.grl import GRL
+    from grlir import serve
+
+    from dataclasses import replace
+
+    cfg = zoo.make_config("tiny", task="sr", upscale=2)
+    cfg = replace(cfg, depths=(1,), embed_dim=16, num_heads_window=(2,),
+                  num_heads_stripe=(2,))
+    orig = zoo.make_config
+    zoo.make_config = lambda *a, **k: cfg
+    try:
+        model = GRL(cfg)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+        ckpt = tmp_path / "m.msgpack"
+        ckpt.write_bytes(serialization.to_bytes(params))
+
+        src = tmp_path / "in"
+        src.mkdir()
+        rng = np.random.default_rng(0)
+        # three images sharing a 16-bucket + one in its own bucket
+        for name, hw in [("a.png", (30, 41)), ("b.png", (31, 47)),
+                         ("c.png", (25, 44)), ("d.png", (50, 50))]:
+            cv2.imwrite(str(src / name),
+                        (rng.random((*hw, 3)) * 255).astype(np.uint8))
+
+        common = ["--input", str(src), "--checkpoint", str(ckpt),
+                  "--model", "tiny", "--scale", "2", "--shape-bucket", "16"]
+        serve.main(common + ["--output", str(tmp_path / "serial")])
+        serve.main(common + ["--output", str(tmp_path / "batched"),
+                             "--batch", "4"])
+        for name in ("a.png", "b.png", "c.png", "d.png"):
+            a = cv2.imread(str(tmp_path / "serial" / name))
+            b = cv2.imread(str(tmp_path / "batched" / name))
+            np.testing.assert_array_equal(a, b)
+    finally:
+        zoo.make_config = orig

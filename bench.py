@@ -110,10 +110,12 @@ def bench_torch_reference(hw: int, iters: int = 2) -> float:
 
 
 def main():
-    # 384px amortizes fixed overheads better than 256 (1.12 vs 0.90 MP/s)
-    hw = int(os.environ.get("GRLIR_BENCH_HW", 384))
+    # 256px: the standard eval scale; per-pixel cost grows with resolution
+    # because grouped-stripe token counts scale with W (2.23 MP/s at 256²
+    # vs 1.8 at 384²) — the metric name embeds the size either way
+    hw = int(os.environ.get("GRLIR_BENCH_HW", 256))
     bs = int(os.environ.get("GRLIR_BENCH_BS", 1))
-    iters = int(os.environ.get("GRLIR_BENCH_ITERS", 8))
+    iters = int(os.environ.get("GRLIR_BENCH_ITERS", 10))
 
     mps = bench_jax(hw, bs, iters)
 

@@ -94,3 +94,27 @@ def test_pixel_shuffle_jic_equivalence():
         perm = shuffle_channel_perm(oc, r)
         got = np.asarray(pixel_shuffle_jic(x[..., perm], r))
         np.testing.assert_array_equal(got, want)
+
+
+def test_hlo_audit_tool():
+    """tools/hlo_audit.py parses HLO text and ranks padded byte footprints."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from hlo_audit import audit_text, padded_bytes
+
+    # bf16 (2, 32) trailing dims pad to (16, 128): 32x logical
+    assert padded_bytes("bf16", [4, 2, 32]) == 4 * 16 * 128 * 2
+    assert padded_bytes("f32", [64, 128]) == 64 * 128 * 4
+    hlo = """
+HloModule m
+ENTRY %main {
+  %p = bf16[1,64,3,2,32] parameter(0)
+  %c = bf16[1,64,3,2,32] copy(%p)
+  ROOT %r = bf16[1,64,192] reshape(%c)
+}
+"""
+    total, kinds, shapes = audit_text(hlo, entry_only=True, top=5)
+    assert total > 0
+    ops = dict((k, v[1]) for k, v in kinds)
+    assert ops.get("copy") == 1 and ops.get("reshape") == 1

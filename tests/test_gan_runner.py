@@ -82,3 +82,46 @@ def test_bsr_gan_stage_end_to_end(bsr_data_root, tmp_path, capsys):
     assert "niqe=" in out              # GT-free validation computed
     outdir = osp.join(str(tmp_path), "out", "gan_it", "version_0")
     assert os.listdir(osp.join(outdir, "checkpoints"))  # best-niqe ckpt saved
+
+
+@pytest.mark.slow
+def test_bsr_two_stage_handoff(bsr_data_root, tmp_path, capsys):
+    """Stage-1 PSNR training -> stage-2 GAN warm-started from the stage-1
+    orbax checkpoint directory (gan_runner.py bsr_psnr_checkpoint path)."""
+    from grlir.train import main
+
+    g_small = [
+        "model.embed_dim=16", "model.depths=[2]",
+        "model.num_heads_window=[2]", "model.num_heads_stripe=[2]",
+        "model.local_connection=false",
+    ]
+    main([
+        "experiment=bsr/grl_psnr", "tag=psnr_it",
+        f"io.base_output_path={tmp_path}/out",
+        "data_module.train.dataset=ost", "data_module.val.dataset=set5",
+        *g_small,
+        "patch_size=16", "batch_size=2", "remat=false",
+        "trainer.max_steps=2", "trainer.val_check_interval=2",
+        "trainer.log_every_n_steps=1", "num_workers=1", "num_devices=1",
+    ])
+    stage1_ckpts = osp.join(str(tmp_path), "out", "psnr_it", "version_0",
+                            "checkpoints")
+    assert os.listdir(stage1_ckpts)
+
+    main([
+        "experiment=bsr/grl", "tag=gan_it2",
+        f"io.base_output_path={tmp_path}/out",
+        "data_module.train.dataset=ost", "data_module.val.dataset=set5",
+        "model.model_g.embed_dim=16", "model.model_g.depths=[2]",
+        "model.model_g.num_heads_window=[2]",
+        "model.model_g.num_heads_stripe=[2]",
+        "model.model_g.local_connection=false",
+        "model.model_d.num_feat=16",
+        f"engine.bsr_psnr_checkpoint={stage1_ckpts}",
+        "patch_size=16", "batch_size=2", "remat=false",
+        "trainer.max_steps=1", "trainer.val_check_interval=1",
+        "trainer.log_every_n_steps=1", "num_workers=1", "num_devices=1",
+    ])
+    out = capsys.readouterr().out
+    assert "loaded PSNR generator" in out
+    assert "niqe=" in out

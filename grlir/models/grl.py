@@ -79,6 +79,11 @@ class GRLConfig:
     attn_layout: str = "dn"  # "dn" (token-minor) | "nd" (torch-like)
     num_out_feats: int = 64
     remat: bool = False  # jax.checkpoint each transformer block
+    # jax.checkpoint policy when remat is on: None = recompute everything
+    # ("nothing_saveable"); "dots" saves matmul outputs (recompute only the
+    # cheap elementwise/layout ops — measured middle ground between blanket
+    # remat's 1.3-2.3x cost and no-remat's memory footprint)
+    remat_policy: Optional[str] = None  # None | "dots" | "dots_no_batch"
     # computation dtype ("float32" | "bfloat16"); params always float32
     dtype: str = "float32"
 
@@ -169,11 +174,19 @@ class TransformerStage(nn.Module):
     @nn.compact
     def __call__(self, x, geometry, deterministic: bool = True):
         cfg = self.cfg
-        block_cls = (
-            nn.remat(EfficientMixAttnTransformerBlock)
-            if cfg.remat
-            else EfficientMixAttnTransformerBlock
-        )
+        if cfg.remat:
+            policies = {
+                None: None,  # nothing_saveable: full recompute
+                "dots": jax.checkpoint_policies.dots_saveable,
+                "dots_no_batch":
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            }
+            block_cls = nn.remat(
+                EfficientMixAttnTransformerBlock,
+                policy=policies[cfg.remat_policy],
+            )
+        else:
+            block_cls = EfficientMixAttnTransformerBlock
         res = x
         for i in range(self.depth):
             block = block_cls(

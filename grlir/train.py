@@ -32,6 +32,8 @@ def build_model_config(cfg: dict):
             m[seq_key] = tuple(m[seq_key])
     m["dtype"] = cfg.get("dtype", "float32")
     m["remat"] = cfg.get("remat", False)
+    if cfg.get("remat_policy") is not None:
+        m["remat_policy"] = cfg["remat_policy"]
     return GRLConfig(**m)
 
 

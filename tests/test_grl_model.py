@@ -166,3 +166,36 @@ def test_attn_layout_dn_matches_nd():
         GRL(replace(cfg, attn_layout="dn", use_pallas_attention=True)).apply(
             params, x))
     np.testing.assert_allclose(got_p, want, atol=5e-5, rtol=1e-4)
+
+
+def test_remat_policy_gradients_match():
+    """remat policies change recompute strategy only — gradients must be
+    identical to the no-remat reference."""
+    from dataclasses import replace
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from grlir.models.grl import GRL, GRLConfig
+
+    cfg = GRLConfig(
+        embed_dim=16, upscale=1, upsampler="", depths=(1,),
+        num_heads_window=(2,), num_heads_stripe=(2,), window_size=4,
+        mlp_ratio=1, stripe_size=(4, 4), stripe_groups=(None, None),
+        anchor_window_down_factor=2, local_connection=False,
+        drop_path_rate=0.0,
+    )
+    x = jnp.asarray(np.random.default_rng(0).random((1, 8, 8, 3)), jnp.float32)
+    params = GRL(cfg).init(jax.random.PRNGKey(0), x)
+
+    def loss(c):
+        return lambda p: jnp.sum(GRL(c).apply(p, x) ** 2)
+
+    g_ref = jax.grad(loss(cfg))(params)
+    for policy in (None, "dots", "dots_no_batch"):
+        c = replace(cfg, remat=True, remat_policy=policy)
+        g = jax.grad(loss(c))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                        jax.tree_util.tree_leaves(g)):
+            np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)

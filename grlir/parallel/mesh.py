@@ -40,3 +40,35 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
     """Place a host batch dict onto the mesh, sharded over the batch axis."""
     sh = batch_sharding(mesh, axis_name)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def maybe_initialize_distributed() -> bool:
+    """Multi-controller init from env (the DDP launcher equivalent,
+    tools/trainer.py:135-148 -> jax.distributed).
+
+    Set GRLIR_COORDINATOR (host:port), GRLIR_NUM_PROCESSES and
+    GRLIR_PROCESS_ID on every host — or rely on JAX's own cluster
+    auto-detection env (SLURM, GKE, Cloud TPU metadata) by setting only
+    GRLIR_DISTRIBUTED=1.  No-ops when neither is present (single-process),
+    or when already initialized.  Returns True if distributed is active.
+    """
+    import os
+
+    # NB: jax.process_count() would itself initialize the XLA backend, after
+    # which distributed init is illegal — inspect the client state instead
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return True
+    coord = os.environ.get("GRLIR_COORDINATOR")
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["GRLIR_NUM_PROCESSES"]),
+            process_id=int(os.environ["GRLIR_PROCESS_ID"]),
+        )
+        return True
+    if os.environ.get("GRLIR_DISTRIBUTED") == "1":
+        jax.distributed.initialize()  # cluster auto-detection
+        return True
+    return False

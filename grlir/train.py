@@ -65,9 +65,14 @@ def main(argv=None):
     from grlir.models.grl import GRL, param_count
     from grlir.optim import build_optimizer, current_lr
     from grlir.optim.schedules import SCHEDULES
-    from grlir.parallel.mesh import make_mesh, shard_batch
+    from grlir.parallel.mesh import (make_mesh, maybe_initialize_distributed,
+                                     shard_batch)
     from grlir.utils.checkpoint import CheckpointManager
     from grlir.data import degradations as D
+
+    if maybe_initialize_distributed():
+        print(f"[grlir] distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}")
 
     cfg = load_config(argv if argv is not None else sys.argv[1:])
     seed = cfg.get("seed", 1234)

@@ -28,11 +28,13 @@ def main():
 
     # the axon site hook pins JAX_PLATFORMS=axon; force CPU *after* import
     jax.config.update("jax_platforms", "cpu")
-    jax.distributed.initialize(
-        coordinator_address=f"127.0.0.1:{port}",
-        num_processes=nproc,
-        process_id=pid,
-    )
+    # go through the production helper (grlir.train calls this at startup)
+    os.environ["GRLIR_COORDINATOR"] = f"127.0.0.1:{port}"
+    os.environ["GRLIR_NUM_PROCESSES"] = str(nproc)
+    os.environ["GRLIR_PROCESS_ID"] = str(pid)
+    from grlir.parallel.mesh import maybe_initialize_distributed
+
+    assert maybe_initialize_distributed()
     assert jax.process_count() == nproc
     n_local = len(jax.local_devices())
     n_global = len(jax.devices())

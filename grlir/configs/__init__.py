@@ -18,7 +18,7 @@ import copy
 import os
 import os.path as osp
 import re
-from typing import Any, Dict, List, Optional
+from typing import Any, List, Optional
 
 import yaml
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 from grlir.data import bsr_utils as B
-from grlir.data.base import TRAIN, VAL, ImageBaseDataset, get_test_file, get_train_file, to_float
+from grlir.data.base import TRAIN, ImageBaseDataset, get_test_file, get_train_file, to_float
 from grlir.data.tasks import TaskConfig
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 import math
 import os
 import os.path as osp
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 from scipy import ndimage

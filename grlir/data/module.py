@@ -4,7 +4,7 @@ data/data_module/ir_data_module.py:22-88)."""
 from __future__ import annotations
 
 from dataclasses import fields
-from typing import Dict, List, Optional
+from typing import Optional
 
 from grlir.data.base import TRAIN, VAL
 from grlir.data.loader import DataLoader

@@ -25,7 +25,6 @@ from grlir.data.base import (
     get_imagenet,
     get_lsdir,
     get_test_file,
-    get_test_set,
     get_train_file,
     load_img_info,
     load_json,

@@ -14,7 +14,7 @@ reference's state_dict names (see grlir.utils.convert).
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,8 +10,7 @@ Standalone building blocks — the GRL path uses grlir.models.blocks instead.
 
 from __future__ import annotations
 
-import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +23,6 @@ from grlir.models.blocks import (
     _merge_heads,
     _split_qkv_heads,
     dense,
-    drop_path,
     layer_norm,
 )
 from grlir.ops.geometry import calculate_mask, get_relative_position_index

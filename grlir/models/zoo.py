@@ -11,7 +11,6 @@ Two families:
 from __future__ import annotations
 
 from dataclasses import replace
-from typing import Optional
 
 from grlir.models.grl import GRLConfig
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 import contextlib
 import json
 import time
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import jax
 

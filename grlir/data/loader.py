@@ -27,6 +27,31 @@ def _collate(samples: List[dict]) -> dict:
     return out
 
 
+# ---- process-worker plumbing (worker_mode="process") -----------------------
+# The BSR degradation/ISP pipeline is GIL-bound python+numpy (measured
+# 3.4 samples/s single-thread and only 5.8/s with 8 THREADS — below the
+# 12.5 samples/s a GRL-base train step consumes), so heavy datasets need real
+# processes.  Spawn context: the parent holds an initialized JAX runtime and
+# fork is unsafe there.
+_WORKER_DS = None
+
+
+def _worker_init(pickled_dataset, base_seed):
+    global _WORKER_DS
+    import os
+    import pickle
+
+    _WORKER_DS = pickle.loads(pickled_dataset)
+    # de-correlate stochastic pipelines across workers (each process got an
+    # identical pickled rng state); pid-keyed like torch's worker seeding
+    if hasattr(_WORKER_DS, "seed"):
+        _WORKER_DS.seed((base_seed + os.getpid()) % (2**31))
+
+
+def _worker_fetch(idxs):
+    return _collate([_WORKER_DS[i] for i in idxs])
+
+
 class DataLoader:
     """Minimal epoch-based loader: shuffle, drop_last, threaded map, prefetch."""
 

@@ -39,9 +39,17 @@ class BSRDataset(ImageBaseDataset):
             self.img_info = get_train_file_bsr(cfg.dataset)
         else:
             self.img_info = get_test_file(cfg.dataset)
-        self.with_gt = getattr(cfg, "load_lr", True)  # val: synthesize pairs?
+        self.with_gt = cfg.with_gt  # val: synthesize pairs? (reference: cfg.with_gt)
         super().__init__(cfg, stage, num_train_samples)
         self.ispmodel = B.ISPModel(rng=np.random.default_rng(12345))
+
+    def seed(self, seed: int):
+        """Per-worker reseed: decorrelate the ISP simulator too, not just the
+        crop/augment rng (process workers start from identical pickled state)."""
+        super().seed(seed)
+        self.ispmodel.rng = np.random.default_rng(seed + 1)
+        self.ispmodel.count = 0
+        self.ispmodel.isp = None
 
     def __getitem__(self, index: int):
         import cv2

@@ -1,9 +1,19 @@
-"""Host-side batch loader: threaded prefetch producing fixed-shape numpy batches.
+"""Host-side batch loader: prefetching producers of fixed-shape numpy batches.
 
-Replaces torch DataLoader workers (data/data_module/ir_data_module.py:69-88) with
-a thread pool (cv2/numpy/h5py release the GIL during decode) and a bounded
-prefetch queue.  Batches are dicts of stacked numpy arrays ready for
-jax.device_put; string fields are kept as lists.
+Replaces torch DataLoader workers (data/data_module/ir_data_module.py:69-88)
+with two interchangeable backends behind one API:
+
+- ``worker_mode="thread"`` (default): a thread pool — cv2/numpy/h5py release
+  the GIL during decode, so cheap pipelines (paired reads, crops) saturate.
+- ``worker_mode="process"``: a spawn-context process pool for GIL-bound
+  pipelines.  The BSR degradation/ISP chain is pure python+numpy (measured
+  3.4 samples/s single-thread, 5.8/s with 8 *threads* — below the
+  12.5 samples/s a GRL-base train step consumes); processes scale it past
+  the train-step rate.  Each worker unpickles the dataset once (initializer)
+  and collates whole batches, so only the final batch dict crosses the pipe.
+
+Batches are dicts of stacked numpy arrays ready for jax.device_put; string
+fields are kept as lists.
 """
 
 from __future__ import annotations
@@ -28,11 +38,9 @@ def _collate(samples: List[dict]) -> dict:
 
 
 # ---- process-worker plumbing (worker_mode="process") -----------------------
-# The BSR degradation/ISP pipeline is GIL-bound python+numpy (measured
-# 3.4 samples/s single-thread and only 5.8/s with 8 THREADS — below the
-# 12.5 samples/s a GRL-base train step consumes), so heavy datasets need real
-# processes.  Spawn context: the parent holds an initialized JAX runtime and
-# fork is unsafe there.
+# Spawn context: the parent holds an initialized JAX runtime and fork is
+# unsafe there.  The dataset is pickled once and shipped via the pool
+# initializer; workers hold their own copy + de-correlated rng.
 _WORKER_DS = None
 
 
@@ -65,11 +73,17 @@ class DataLoader:
         prefetch: int = 4,
         seed: int = 0,
         shard: tuple = (0, 1),
+        worker_mode: str = "thread",
     ):
         """shard=(process_index, process_count): each host reads its stride of
         the (shared-seed) shuffled order — the DistributedSampler analogue; val
         overlap/padding is neutralized downstream by dedup-by-index
-        (metrics/collect.py)."""
+        (metrics/collect.py).
+
+        worker_mode: "thread" | "process" — see module docstring.  The process
+        pool is created lazily on first iteration and reused across epochs
+        (infinite() streams don't pay respawn cost per epoch)."""
+        assert worker_mode in ("thread", "process"), worker_mode
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -78,7 +92,35 @@ class DataLoader:
         self.prefetch = prefetch
         self.seed = seed
         self.shard = shard
+        self.worker_mode = worker_mode
         self._epoch = 0
+        self._pool = None
+
+    def _process_pool(self):
+        if self._pool is None:
+            import multiprocessing as mp
+            import pickle
+
+            ctx = mp.get_context("spawn")
+            self._pool = ctx.Pool(
+                self.num_workers,
+                initializer=_worker_init,
+                initargs=(pickle.dumps(self.dataset), self.seed),
+            )
+        return self._pool
+
+    def close(self):
+        """Tear down the process pool (no-op in thread mode)."""
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool.join()
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __len__(self):
         n = len(self.dataset)
@@ -106,6 +148,9 @@ class DataLoader:
         return batches
 
     def __iter__(self) -> Iterator[dict]:
+        if self.worker_mode == "process":
+            yield from self._iter_process()
+            return
         batches = self._index_batches()
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -135,6 +180,28 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
+
+    def _iter_process(self) -> Iterator[dict]:
+        """Process-pool epoch: keep `prefetch` whole-batch fetches in flight,
+        yield strictly in order (torch DataLoader reordering semantics)."""
+        pool = self._process_pool()
+        batches = self._index_batches()
+        inflight: "queue.Queue" = queue.Queue()
+        depth = max(1, self.prefetch)
+        it = iter(batches)
+
+        def submit_next():
+            idxs = next(it, None)
+            if idxs is not None:
+                inflight.put(pool.apply_async(_worker_fetch, (idxs,)))
+
+        for _ in range(depth):
+            submit_next()
+        while not inflight.empty():
+            result = inflight.get()
+            submit_next()
+            # .get() re-raises worker exceptions in the consumer
+            yield result.get()
 
     def infinite(self) -> Iterator[dict]:
         """Endless stream for step-based training (the reference converts steps

@@ -51,8 +51,6 @@ class IRDataModule:
     def __init__(self, cfg: dict, num_train_samples: int = 0, seed: int = 0):
         self.name = cfg["name"]
         ds_cls = _bsr_dataset() if self.name == "bsr" else TASK_DATASETS[self.name]
-        # bsr validates on synthetic SR pairs (ir_data_module.py:54-57)
-        val_cls = SRDataset if self.name == "bsr" else ds_cls
 
         shared = {k: v for k, v in cfg.items()
                   if k not in ("train", "val", "test", "name")}
@@ -64,10 +62,13 @@ class IRDataModule:
         for ds_name in str(val_section.get("dataset", "")).split("+"):
             if not ds_name:
                 continue
-            vc = task_config(
-                "sr" if self.name == "bsr" else self.name,
-                shared, val_section, {"dataset": ds_name},
-            )
+            # bsr validates on synthetic SR pairs unless the set is real-world
+            # imagery (reference: ir_data_module.py:54-57 keys on "realsr")
+            if self.name == "bsr" and ds_name != "realsr":
+                val_cls, val_task = SRDataset, "sr"
+            else:
+                val_cls, val_task = ds_cls, self.name
+            vc = task_config(val_task, shared, val_section, {"dataset": ds_name})
             self.val_datasets[ds_name] = val_cls(vc, VAL)
 
         self._cfg = cfg
@@ -76,9 +77,13 @@ class IRDataModule:
     def train_loader(self, batch_size: int, num_workers: int = 2) -> DataLoader:
         import jax
 
+        # GIL-bound degradation pipelines (BSR) need real worker processes;
+        # cheap decode/crop pipelines stay on threads (see data/loader.py)
+        mode = (self._cfg.get("worker_mode")
+                or ("process" if self.name == "bsr" else "thread"))
         return DataLoader(self.train_dataset, batch_size, shuffle=True,
                           drop_last=True, num_workers=num_workers,
-                          seed=self._seed,
+                          seed=self._seed, worker_mode=mode,
                           shard=(jax.process_index(), jax.process_count()))
 
     def val_loaders(self, batch_size: int = 1, num_workers: int = 2):

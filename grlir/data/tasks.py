@@ -46,6 +46,7 @@ class TaskConfig:
     scale: int = 1
     load_lr: bool = True
     use_usm: bool = False
+    with_gt: bool = True       # bsr val: False -> GT-free (NIQE) validation
     modulo: int = 8
     use_cache: bool = True
     # dn / db

@@ -148,7 +148,8 @@ def run_gan(cfg: dict, out_dir: str):
         state = ckpt.restore(state)
         print(f"[grlir] resumed GAN from step {int(state.step)}")
 
-    dm = IRDataModule(cfg["data_module"], seed=seed)
+    dm = IRDataModule({**cfg["data_module"],
+                   "worker_mode": cfg.get("worker_mode")}, seed=seed)
     scale = int(cfg["data_module"].get("scale", 4))
 
     def run_validation(step_num: int) -> Dict[str, float]:

@@ -51,17 +51,22 @@ def make_train_preprocess(
     scale: int = 1,
     crop_patch: Optional[int] = None,
     use_usm_target: bool = False,
+    mixup_start_step: int = 0,
 ):
-    """Build the (batch, rng) -> (lq, gt) device preprocessing for the task.
+    """Build the (batch, rng[, step]) -> (lq, gt) device preprocessing.
 
     crop_patch: if set, randomly re-crop to this (LR) patch size — the
     progressive-training path; the trainer rebuilds the step when the stage
     changes (shape change => new compile, a handful over a run).
     use_usm_target: PSNR-engine option — train against the USM-sharpened GT
     when the batch provides one (engines/base_psnr.py:18-43).
+    mixup_start_step: MixUp only activates after this step — the reference
+    gates it on `current_epoch > 5` (engines/base.py:168); the trainer passes
+    5 virtual epochs' worth of steps.  Gated inside jit via jnp.where so the
+    step count stays a traced value (no recompile at the threshold).
     """
 
-    def preprocess(batch, rng):
+    def preprocess(batch, rng, step=None):
         if task == "paired_dual":
             lq = jnp.concatenate([batch["img_lq_l"], batch["img_lq_r"]], -1)
             gt = batch["img_gt"]
@@ -79,7 +84,13 @@ def make_train_preprocess(
         if crop_patch is not None and crop_patch < lq.shape[1]:
             lq, gt = random_crop_pair(lq, gt, crop_patch, scale, k1)
         if use_mixup:
-            lq, gt = mixup(lq, gt, k2)
+            mixed_lq, mixed_gt = mixup(lq, gt, k2)
+            if step is None or mixup_start_step <= 0:
+                lq, gt = mixed_lq, mixed_gt
+            else:
+                on = step >= mixup_start_step
+                lq = jnp.where(on, mixed_lq, lq)
+                gt = jnp.where(on, mixed_gt, gt)
         return lq, gt
 
     return preprocess

@@ -48,19 +48,40 @@ def make_train_step(
     preprocess: Optional[Callable] = None,
     donate: bool = True,
     jit_compile: bool = True,
+    classification: bool = False,
+    one_hot_label: bool = True,
 ):
     """Build the jitted train step.
 
     preprocess(batch, rng) -> (lq, gt): on-device task physics (demosaic init,
     kernel blur + noise, progressive crop), mirroring the reference's in-forward
     degradations (engines/base.py:118-165).
+    classification: per-pixel 256-way class training — pixel losses on the
+    expected image + cross entropy on the distribution (engines/base.py:186-199).
     """
-    losses = build_loss(loss_cfg)
+    if classification:
+        from grlir.losses.classification import build_classification_loss
+
+        cls_loss = build_classification_loss(
+            loss_cfg, LOSS_FNS, one_hot_label=one_hot_label)
+    else:
+        losses = build_loss(loss_cfg)
+
+    # step-aware preprocess fns (MixUp start gate) take (batch, rng, step)
+    import inspect
+
+    pre_takes_step = (
+        preprocess is not None
+        and len(inspect.signature(preprocess).parameters) >= 3
+    )
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
         prng, drng = jax.random.split(rng)
         if preprocess is not None:
-            lq, gt = preprocess(batch, prng)
+            if pre_takes_step:
+                lq, gt = preprocess(batch, prng, state.step)
+            else:
+                lq, gt = preprocess(batch, prng)
         else:
             lq, gt = batch["img_lq"], batch["img_gt"]
 
@@ -69,7 +90,10 @@ def make_train_step(
                 {"params": params}, lq, deterministic=False,
                 rngs={"droppath": drng},
             )
-            total, parts = weighted_loss(losses, pred, gt)
+            if classification:
+                total, parts = cls_loss(pred, gt)
+            else:
+                total, parts = weighted_loss(losses, pred, gt)
             return total, parts
 
         (total, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -30,6 +30,9 @@ METRIC_FNS: Dict[str, Callable] = {
     "psnrb_y": MB.psnrb_y,
 }
 
+# no-reference metrics: computable without a ground-truth image
+GT_FREE_METRICS = ("niqe",)
+
 
 def preprocess_val_batch(batch: dict, task: str,
                          blur_kernel: Optional[np.ndarray] = None):
@@ -61,21 +64,32 @@ def validate(
 ) -> Dict[str, float]:
     """Run a full validation pass; returns {metric: value} plus writes
     per-image table to save_dir if given."""
-    names = [n for n in metric_names if n != "niqe"]
-    use_niqe = "niqe" in metric_names
+    names = [n for n in metric_names if n not in GT_FREE_METRICS]
+    gt_free_names = [n for n in metric_names if n in GT_FREE_METRICS]
     acc = MetricAccumulator(list(metric_names))
 
     for batch in loader:
         lq, gt = preprocess_val_batch(batch, task, blur_kernel)
+        # GT-free sets (bsr val with_gt=false) emit a (1,)-shaped placeholder
+        # per sample (data/bsr.py); only no-reference metrics are computable
+        gt_free = np.asarray(gt).ndim < 4
+        if gt_free and names:
+            raise ValueError(
+                f"full-reference metrics {names} requested on a GT-free "
+                f"validation set; use metric=restorer_niqe (reference: "
+                f"config/experiment/bsr/grl.yaml val.with_gt=False)"
+            )
         restored = restorer(np.asarray(lq))
         restored = np.asarray(tensor_round(jnp.asarray(restored)))
-        target = np.asarray(tensor_round(jnp.asarray(gt)))
+        target = None if gt_free else np.asarray(tensor_round(jnp.asarray(gt)))
 
         if save_dir:
             _save_images(save_dir, task, batch["filenames"], lq, restored,
                          target)
 
-        if "sr" in task:
+        # reference shaves for any task containing "sr" — incl. synthetic bsr
+        # val (engines/base.py "sr" in data_module.name check)
+        if "sr" in task and not gt_free:
             restored_m = np.asarray(shave(jnp.asarray(restored), scale))
             target_m = np.asarray(shave(jnp.asarray(target), scale))
         else:
@@ -83,13 +97,24 @@ def validate(
 
         values = {}
         for n in names:
+            if n == "lpips":
+                from grlir.metrics.lpips import lpips_metric
+
+                values[n] = lpips_metric(restored_m, target_m)
+                continue
+            if n not in METRIC_FNS:
+                raise ValueError(
+                    f"unknown validation metric {n!r}; available: "
+                    f"{sorted(METRIC_FNS)} + ['lpips'] + {list(GT_FREE_METRICS)}"
+                )
             values[n] = np.asarray(
                 METRIC_FNS[n](jnp.asarray(restored_m), jnp.asarray(target_m))
             )
-        if use_niqe:
-            from grlir.metrics.niqe import niqe_batch
+        for n in gt_free_names:
+            if n == "niqe":
+                from grlir.metrics.niqe import niqe_batch
 
-            values["niqe"] = niqe_batch(restored_m)
+                values[n] = niqe_batch(restored_m)
         acc.update(values, batch["indices"], batch["filenames"])
 
     if gather_across_hosts:

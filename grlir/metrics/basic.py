@@ -24,8 +24,17 @@ def psnr(pred, target):
     return -10.0 * jnp.log10(mse)
 
 
+def _to_y(img, data_range: float):
+    """RGB -> rounded Y channel; 1-channel input passes through unchanged so
+    the *_y metrics degrade to their plain variants on grayscale images
+    (reference gray metric sets simply omit the _y metrics)."""
+    if img.shape[-1] == 1:
+        return img
+    return rgb2ycbcr(img, data_range)
+
+
 def psnr_y(pred, target, data_range: float = 1.0):
-    return psnr(rgb2ycbcr(pred, data_range), rgb2ycbcr(target, data_range))
+    return psnr(_to_y(pred, data_range), _to_y(target, data_range))
 
 
 def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
@@ -73,7 +82,7 @@ def ssim(pred, target, window_size: int = 11):
 
 
 def ssim_y(pred, target, data_range: float = 1.0):
-    return ssim(rgb2ycbcr(pred, data_range), rgb2ycbcr(target, data_range))
+    return ssim(_to_y(pred, data_range), _to_y(target, data_range))
 
 
 def _blocking_effect_factor(im):
@@ -123,4 +132,4 @@ def psnrb(pred, target):
 
 
 def psnrb_y(pred, target, data_range: float = 1.0):
-    return psnrb(rgb2ycbcr(pred, data_range), rgb2ycbcr(target, data_range))
+    return psnrb(_to_y(pred, data_range), _to_y(target, data_range))

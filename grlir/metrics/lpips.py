@@ -102,3 +102,56 @@ def convert_lpips_torch_weights(lpips_state_dict, vgg_features_state_dict):
 def lpips_batch(apply_fn, params, pred, target) -> np.ndarray:
     """Per-image LPIPS over NHWC batches in [0,1]."""
     return np.asarray(apply_fn(params, jnp.asarray(pred), jnp.asarray(target)))
+
+
+def save_lpips_params(params, path: str):
+    """Persist converted LPIPS params as an npz with '/'-joined keys."""
+    flat = {}
+
+    def rec(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                rec(f"{prefix}/{k}" if prefix else k, v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    rec("", params)
+    np.savez(path, **flat)
+
+
+def load_lpips_params(path: str):
+    """Inverse of save_lpips_params."""
+    out: Dict = {}
+    with np.load(path) as z:
+        for key in z.files:
+            node = out
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = z[key]
+    return out
+
+
+_LPIPS_STATE = None
+
+
+def lpips_metric(pred, target) -> np.ndarray:
+    """(B,H,W,3) x2 -> (B,) LPIPS.  Loads calibration+VGG weights once from
+    $GRLIR_LPIPS_NPZ (produced by save_lpips_params after
+    convert_lpips_torch_weights); raises a clear error when absent."""
+    global _LPIPS_STATE
+    if _LPIPS_STATE is None:
+        import os
+
+        path = os.environ.get("GRLIR_LPIPS_NPZ", "")
+        if not path or not os.path.exists(os.path.expanduser(path)):
+            raise RuntimeError(
+                "LPIPS requested but $GRLIR_LPIPS_NPZ is not set or missing — "
+                "convert the official weights per docs/RUNBOOK.md "
+                "(convert_lpips_torch_weights + save_lpips_params)"
+            )
+        params = load_lpips_params(os.path.expanduser(path))
+        model = LPIPSVgg()
+        _LPIPS_STATE = (jax.jit(model.apply), params)
+    apply_fn, params = _LPIPS_STATE
+    return lpips_batch(apply_fn, params, pred, target)

@@ -34,6 +34,9 @@ def build_model_config(cfg: dict):
     m["remat"] = cfg.get("remat", False)
     if cfg.get("remat_policy") is not None:
         m["remat_policy"] = cfg["remat_policy"]
+    if cfg.get("classification", False):
+        # per-pixel 256-way class head (engines/base.py classification mode)
+        m["out_channels"] = 256 * m.get("in_channels", 3)
     return GRLConfig(**m)
 
 
@@ -107,7 +110,8 @@ def main(argv=None):
         print(f"[grlir] loaded pretrained {cfg['pretrained_checkpoint']}")
 
     # ---- data
-    dm = IRDataModule(cfg["data_module"], seed=seed)
+    dm = IRDataModule({**cfg["data_module"],
+                   "worker_mode": cfg.get("worker_mode")}, seed=seed)
     scale = int(cfg["data_module"].get("scale", 1))
     blur_kernel = (D.get_blur_kernel(cfg["data_module"].get("kernel_type",
                                                             "gaussian"))
@@ -135,15 +139,36 @@ def main(argv=None):
     prog_batches = list(cfg.get("batch_sizes") or [])
     prog_patches = list(cfg.get("patch_sizes") or [])
 
+    # reference applies MixUp only after epoch 5 (engines/base.py:168);
+    # translate to steps via the virtual-epoch length
+    global_batch = int(cfg["batch_size"]) * mesh.devices.size
+    steps_per_epoch = max(1, len(dm.train_dataset) // max(1, global_batch))
+    mixup_start = 5 * steps_per_epoch if cfg.get("mixup", False) else 0
+
     def build_step(crop_patch=None):
         pre = make_train_preprocess(
             task, blur_kernel, cfg.get("mixup", False), scale,
-            crop_patch=crop_patch, use_usm_target=use_usm)
-        return make_train_step(model, optimizer, cfg["loss"], mesh=mesh,
-                               preprocess=pre)
+            crop_patch=crop_patch, use_usm_target=use_usm,
+            mixup_start_step=mixup_start)
+        return make_train_step(
+            model, optimizer, cfg["loss"], mesh=mesh, preprocess=pre,
+            classification=cfg.get("classification", False),
+            one_hot_label=cfg.get("one_hot_label", True))
 
     train_step = build_step()
-    eval_apply = lambda p, x: model.apply(p, x)
+    if cfg.get("classification", False):
+        # convert per-pixel class logits back to an image for validation
+        # (reference form_images, engines/base.py:206-215)
+        from grlir.losses.classification import logits_to_class_dist
+        from grlir.utils.classification import (
+            img_from_prob_argmax, img_from_prob_weighted)
+
+        form = (img_from_prob_argmax
+                if cfg.get("prob_to_image", "weighted_sum") == "argmax"
+                else img_from_prob_weighted)
+        eval_apply = lambda p, x: form(logits_to_class_dist(model.apply(p, x)))
+    else:
+        eval_apply = lambda p, x: model.apply(p, x)
 
     from grlir.utils.profiling import MetricsLogger
 
@@ -230,6 +255,11 @@ def main(argv=None):
                       f"patch={crop}")
             if stage < len(prog_batches):
                 bs = min(prog_batches[stage], cfg["batch_size"])
+                # the sliced batch must still tile the data mesh axis
+                # (reference semantics are per-GPU batch sizes,
+                # engines/base.py:145-165)
+                n_dev = mesh.devices.size
+                bs = max(n_dev, (bs // n_dev) * n_dev)
                 batch = {k: v[:bs] for k, v in batch.items()}
         batch = shard_batch(batch, mesh)
         key, sub = jax.random.split(key)

@@ -26,7 +26,7 @@ def test_group_selection_and_override():
 def test_experiment_overlay_selects_groups():
     cfg = load_config(["experiment=jpeg/grl_p288"])
     assert cfg["data_module"]["name"] == "jpeg"
-    assert cfg["data_module"]["quality_factor"] == 40
+    assert cfg["data_module"]["quality_factor"] == 10
     assert cfg["trainer"]["max_steps"] == 175000
     assert "psnrb" in cfg["metric"]["val"]
     assert cfg["tile"] == 576 and cfg["tile_overlap"] == 72
@@ -61,7 +61,7 @@ def test_config_view():
 
 
 def test_all_experiments_compose():
-    for exp in ["sr/grl_p256", "dn/grl", "jpeg/grl_p288", "dm/grl",
+    for exp in ["sr/grl_p256", "dn/grl_p256", "jpeg/grl_p288", "dm/grl",
                 "db_motion/grl_p480", "db_defocus/grl_p480",
                 "bsr/grl_psnr", "bsr/grl"]:
         cfg = load_config([f"experiment={exp}"])
@@ -80,7 +80,7 @@ def test_all_model_configs_build():
 def test_group_replacement_no_leak():
     """Selecting a group must REPLACE its subtree: sr's scale/load_lr must not
     leak into the dn data module (regression: progressive crop used scale=2)."""
-    cfg = load_config(["experiment=dn/grl"])
+    cfg = load_config(["experiment=dn/grl_p256"])
     assert "scale" not in cfg["data_module"]
     assert "load_lr" not in cfg["data_module"]
     cfg2 = load_config(["data_module=jpeg"])

@@ -49,7 +49,7 @@ def data_root(tmp_path, monkeypatch):
 
 def _overrides(tmp_path, steps=4):
     return [
-        "experiment=dn/grl",
+        "experiment=dn/grl_p256",
         "tag=it",
         f"io.base_output_path={tmp_path}/out",
         "data_module.train.dataset=div2k",

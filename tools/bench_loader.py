@@ -1,0 +1,90 @@
+"""BSR data-loader throughput bench: thread vs process workers.
+
+The GRL-base BSR train step consumes ~12.5 samples/s (measured round 1); the
+pipeline must sustain at least that or training is input-bound.  Run:
+
+    python tools/bench_loader.py [--mode process|thread] [--workers N]
+                                 [--samples N] [--synthetic-images N]
+
+Prints one JSON line per mode with samples/s.  Uses a synthetic on-disk corpus
+(no external data needed).
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def make_corpus(root, n_images, hw=480):
+    import cv2
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    img_dir = os.path.join(root, "LSDIR", "train")
+    os.makedirs(img_dir, exist_ok=True)
+    entries = []
+    for i in range(n_images):
+        name = f"{i:04d}.png"
+        img = (rng.random((hw, hw, 3)) * 255).astype("uint8")
+        cv2.imwrite(os.path.join(img_dir, name), img)
+        entries.append({"path": f"train/{name}"})
+    info = os.path.join(root, "image_info", "LSDIR")
+    os.makedirs(info, exist_ok=True)
+    with open(os.path.join(info, "train.json"), "w") as f:
+        json.dump(entries, f)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="both",
+                    choices=["thread", "process", "both"])
+    ap.add_argument("--workers", type=int, default=os.cpu_count() or 8)
+    ap.add_argument("--samples", type=int, default=64)
+    ap.add_argument("--synthetic-images", type=int, default=8)
+    ap.add_argument("--batch-size", type=int, default=4)
+    args = ap.parse_args()
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    with tempfile.TemporaryDirectory() as root:
+        make_corpus(root, args.synthetic_images)
+        os.environ["GRLIR_DATA_ROOT"] = root
+        os.environ.setdefault("GRLIR_CACHE_DIR", os.path.join(root, "cache"))
+
+        from grlir.data.bsr import BSRDataset
+        from grlir.data.loader import DataLoader
+        from grlir.data.tasks import TaskConfig
+
+        cfg = TaskConfig(name="bsr", dataset="lsdir", patch_size=32, scale=4,
+                         use_cache=False)
+        modes = ["thread", "process"] if args.mode == "both" else [args.mode]
+        for mode in modes:
+            ds = BSRDataset(cfg, "train")
+            dl = DataLoader(ds, batch_size=args.batch_size, shuffle=True,
+                            drop_last=True, num_workers=args.workers,
+                            prefetch=args.workers, worker_mode=mode)
+            stream = dl.infinite()
+            # warmup: pool spawn + first fetches
+            for _ in range(2):
+                next(stream)
+            t0 = time.perf_counter()
+            n = 0
+            while n < args.samples:
+                b = next(stream)
+                n += b["img_lq"].shape[0]
+            dt = time.perf_counter() - t0
+            dl.close()
+            print(json.dumps({
+                "metric": f"bsr_loader_throughput_{mode}",
+                "value": round(n / dt, 2),
+                "unit": "samples/sec",
+                "workers": args.workers,
+                "train_step_demand": 12.5,
+            }))
+
+
+if __name__ == "__main__":
+    main()

@@ -42,10 +42,15 @@ def bench_jax(hw: int, bs: int, iters: int) -> float:
     # GRLIR_BENCH_DTYPE=float32 for the strict-parity configuration.
     cfg = replace(zoo.GRL_SMALL,
                   dtype=os.environ.get("GRLIR_BENCH_DTYPE", "bfloat16"))
-    if os.environ.get("GRLIR_BENCH_PALLAS", "0") == "1":
+    pallas_env = os.environ.get("GRLIR_BENCH_PALLAS", "0")
+    if pallas_env == "1":
         cfg = replace(cfg, use_pallas_attention=True)
+    elif pallas_env == "window":
+        cfg = replace(cfg, use_pallas_attention="window")
     if os.environ.get("GRLIR_BENCH_LAYOUT"):
         cfg = replace(cfg, attn_layout=os.environ["GRLIR_BENCH_LAYOUT"])
+    if os.environ.get("GRLIR_BENCH_IO"):
+        cfg = replace(cfg, attn_io=os.environ["GRLIR_BENCH_IO"])
     model = GRL(cfg)
     rng = np.random.default_rng(0)
     xs = jnp.asarray(rng.random((iters, bs, hw, hw, 3)), jnp.float32)

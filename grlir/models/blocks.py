@@ -22,7 +22,12 @@ import numpy as np
 from flax import linen as nn
 
 from grlir.ops.geometry import get_stripe_info
-from grlir.ops.layout import window_partition, window_reverse
+from grlir.ops.layout import (
+    window_partition,
+    window_partition_cm,
+    window_reverse,
+    window_reverse_cm,
+)
 
 Size2 = Tuple[int, int]
 
@@ -324,10 +329,18 @@ class WindowAttention(nn.Module):
     euclidean_dist: bool = False
     use_pallas: bool = False
     d_major: bool = False
+    dtype: object = None
 
     @nn.compact
-    def __call__(self, qkv, table, index, mask, bands=None):
-        # qkv: (B, H, W, 3*Cw)
+    def __call__(self, qkv, table, index, mask, bands=None,
+                 wqkv=None, bqkv=None):
+        # legacy: qkv (B, H, W, 3*Cw).  Boundary-fused (attn_io="cm"): qkv is
+        # the block INPUT x (B, H, W, C) and (wqkv, bqkv) is this half's slice
+        # of the shared projection — roll/partition then touch the C-wide x
+        # instead of the 1.5C-wide qkv, and the channel-major dense output
+        # makes the head split free (no swapaxes copy).
+        if wqkv is not None:
+            return self._forward_cm(qkv, table, index, mask, bands, wqkv, bqkv)
         B, H, W, _ = qkv.shape
         shift = self.window_size[0] // 2 if self.window_shift else 0
 
@@ -363,6 +376,41 @@ class WindowAttention(nn.Module):
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
         return x
 
+    def _forward_cm(self, x, table, index, mask, bands, wqkv, bqkv):
+        """Boundary-fused window attention: one channel-major partition copy,
+        head split/merge as free reshapes, channel-major reverse."""
+        B, H, W, _ = x.shape
+        h = self.num_heads
+        shift = self.window_size[0] // 2 if self.window_shift else 0
+        if shift > 0:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+        xw = window_partition_cm(x, self.window_size)  # (B, nW, C, N)
+        qkv = _qkv_cm(xw, wqkv, bqkv, self.dtype)      # (B, nW, 3Cw, N)
+        transform = AffineTransform(h, name="attn_transform")
+
+        if self.use_pallas and not self.euclidean_dist:
+            from grlir.ops.pallas.attention import fused_window_attention_qkv
+
+            if self.window_shift and bands is None:
+                raise ValueError(
+                    "use_pallas window attention with window_shift requires "
+                    "band ids (geometry['bands_w'])")
+            y = fused_window_attention_qkv(
+                qkv, transform.logit_scale, transform.bias(table, index),
+                h, bands if self.window_shift else None, channel_major=True)
+        else:
+            Bq, nW, C3, N = qkv.shape
+            t = qkv.reshape(Bq, nW, 3, h, C3 // 3 // h, N)
+            q, k, v = t[:, :, 0], t[:, :, 1], t[:, :, 2]
+            y = cosine_attention(q, k, v, transform, table, index,
+                                 mask if self.window_shift else None,
+                                 self.euclidean_dist, False, True)
+            y = y.reshape(Bq, nW, C3 // 3, N)  # merge heads (free, channel-major)
+        y = window_reverse_cm(y, self.window_size, (H, W))
+        if shift > 0:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        return y
+
 
 class AnchorStripeAttention(nn.Module):
     """Anchored stripe attention — the O(N) global path
@@ -381,10 +429,14 @@ class AnchorStripeAttention(nn.Module):
     euclidean_dist: bool = False
     use_pallas: bool = False
     d_major: bool = False
+    dtype: object = None
 
     @nn.compact
-    def __call__(self, qkv, anchor, table, index_a2w, index_w2a, mask_a2w, mask_w2a):
-        # qkv: (B, H, W, 3*Cs); anchor: (B, H/df, W/df, Cs)
+    def __call__(self, qkv, anchor, table, index_a2w, index_w2a, mask_a2w,
+                 mask_w2a, wqkv=None, bqkv=None):
+        # legacy: qkv (B, H, W, 3*Cs).  Boundary-fused (attn_io="cm"): qkv is
+        # the block input x (B, H, W, C) + this half's projection slice (see
+        # WindowAttention).  anchor: (B, H/df, W/df, Cs) either way.
         B, H, W, _ = qkv.shape
         df = self.anchor_window_down_factor
 
@@ -393,6 +445,12 @@ class AnchorStripeAttention(nn.Module):
         )
         anchor_stripe = tuple(s // df for s in stripe_size)
         anchor_shift = tuple(s // df for s in shift_size)
+
+        if wqkv is not None:
+            return self._forward_cm(
+                qkv, anchor, table, index_a2w, index_w2a, mask_a2w, mask_w2a,
+                wqkv, bqkv, stripe_size, shift_size, anchor_stripe,
+                anchor_shift)
 
         if self.stripe_shift:
             qkv = jnp.roll(qkv, (-shift_size[0], -shift_size[1]), axis=(1, 2))
@@ -421,6 +479,44 @@ class AnchorStripeAttention(nn.Module):
         if self.stripe_shift:
             x = jnp.roll(x, shift_size, axis=(1, 2))
         return x
+
+    def _forward_cm(self, x, anchor, table, index_a2w, index_w2a, mask_a2w,
+                    mask_w2a, wqkv, bqkv, stripe_size, shift_size,
+                    anchor_stripe, anchor_shift):
+        """Boundary-fused anchored stripe attention (see WindowAttention
+        _forward_cm): channel-major partition + free head splits."""
+        B, H, W, _ = x.shape
+        h = self.num_heads
+        if self.stripe_shift:
+            x = jnp.roll(x, (-shift_size[0], -shift_size[1]), axis=(1, 2))
+            anchor = jnp.roll(anchor, (-anchor_shift[0], -anchor_shift[1]),
+                              axis=(1, 2))
+
+        xw = window_partition_cm(x, stripe_size)        # (B, nW, C, N1)
+        qkv = _qkv_cm(xw, wqkv, bqkv, self.dtype)       # (B, nW, 3Cs, N1)
+        anchor = window_partition_cm(anchor, anchor_stripe)  # (B, nW, Cs, N2)
+
+        Bq, nW, C3, N1 = qkv.shape
+        Cs = C3 // 3
+        t = qkv.reshape(Bq, nW, 3, h, Cs // h, N1)
+        q, k, v = t[:, :, 0], t[:, :, 1], t[:, :, 2]
+        a = anchor.reshape(Bq, nW, h, Cs // h, -1)
+
+        t1 = AffineTransform(h, name="attn_transform1")
+        t2 = AffineTransform(h, name="attn_transform2")
+        m_a2w = mask_a2w if self.stripe_shift else None
+        m_w2a = mask_w2a if self.stripe_shift else None
+
+        y = cosine_attention(a, k, v, t1, table, index_a2w, m_a2w,
+                             self.euclidean_dist, self.use_pallas, True)
+        y = cosine_attention(q, a, y, t2, table, index_w2a, m_w2a,
+                             self.euclidean_dist, self.use_pallas, True)
+
+        y = y.reshape(Bq, nW, Cs, N1)  # merge heads (free, channel-major)
+        y = window_reverse_cm(y, stripe_size, (H, W))
+        if self.stripe_shift:
+            y = jnp.roll(y, shift_size, axis=(1, 2))
+        return y
 
 
 class StripeAttention(nn.Module):
@@ -476,6 +572,51 @@ class SeparableConv(nn.Module):
             x = gelu(x)
         return conv2d(x, self.features, (1, 1), use_bias=self.use_bias,
                       name="pointwise", dtype=self.dtype)
+
+
+class _DenseParams(nn.Module):
+    """Bare nn.Dense parameters (identical shapes/init/param paths) for code
+    paths that consume the weights inside fused einsums instead of applying
+    the layer — the attn_io="cm" boundary-fused attention."""
+
+    features: int
+    in_features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", dense_kernel_init,
+                       (self.in_features, self.features))
+        b = (self.param("bias", nn.initializers.zeros, (self.features,))
+             if self.use_bias else None)
+        return k, b
+
+
+class _QKVParams(nn.Module):
+    """QKVProjection's parameters without application (path {name}/body/*)."""
+
+    dim: int
+    in_features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        return _DenseParams(self.dim * 3, self.in_features, self.use_bias,
+                            name="body")()
+
+
+def _qkv_cm(xw, wqkv, bqkv, dtype):
+    """Channel-major qkv projection on partitioned windows.
+
+    xw: (B, nW, C, N); wqkv: (C, 3Ch) slice -> (B, nW, 3Ch, N).  The dense's
+    output channels land on a non-minor axis, so the subsequent [3, heads, d]
+    head split is a free reshape (the legacy path pays a full-tensor
+    swapaxes here — see _split_qkv_heads)."""
+    dt = dtype or xw.dtype
+    out = jnp.einsum("ck,bwcn->bwkn", wqkv.astype(dt), xw.astype(dt))
+    if bqkv is not None:
+        out = out + bqkv.astype(dt)[None, None, :, None]
+    return out
 
 
 class QKVProjection(nn.Module):
@@ -619,23 +760,41 @@ class MixedAttention(nn.Module):
     stripe_square: bool = False
     use_pallas: bool = False
     d_major: bool = False
+    attn_io: str = "legacy"  # "legacy" | "cm" boundary-fused (linear qkv only)
     dtype: object = None
 
     @nn.compact
     def __call__(self, x, tim):
         # x: (B, H, W, C); tim: per-block table/index/mask dict
         use_anchor = self.anchor_window_down_factor > 1
-        qkv = QKVProjection(self.dim, self.qkv_bias, self.qkv_proj_type,
-                            self.separable_conv_act, dtype=self.dtype,
-                            name="qkv")(x)
-        qkv_window, qkv_stripe = jnp.split(qkv, 2, axis=-1)
+        # the boundary-fused path needs the raw projection weights; separable
+        # conv qkv and the ablation branches keep the legacy flow
+        fused_io = (self.attn_io == "cm" and self.qkv_proj_type == "linear"
+                    and not self.double_window and use_anchor
+                    and not self.euclidean_dist)
+        if fused_io:
+            C = x.shape[-1]
+            wqkv, bqkv = _QKVParams(self.dim, C, self.qkv_bias, name="qkv")()
+            half = 3 * self.dim // 2
+            w_win, w_str = wqkv[:, :half], wqkv[:, half:]
+            b_win = bqkv[:half] if bqkv is not None else None
+            b_str = bqkv[half:] if bqkv is not None else None
+            qkv_window = qkv_stripe = x
+        else:
+            w_win = w_str = b_win = b_str = None
+            qkv = QKVProjection(self.dim, self.qkv_bias, self.qkv_proj_type,
+                                self.separable_conv_act, dtype=self.dtype,
+                                name="qkv")(x)
+            qkv_window, qkv_stripe = jnp.split(qkv, 2, axis=-1)
 
+        # use_pallas: False | True (both halves) | "window" (window half
+        # only — the stripe kernel is not competitive at XLA-stripe shapes)
         x_window = WindowAttention(
             self.window_size, self.num_heads_w, self.window_shift,
-            self.euclidean_dist, self.use_pallas, self.d_major,
-            name="window_attn",
+            self.euclidean_dist, bool(self.use_pallas), self.d_major,
+            dtype=self.dtype, name="window_attn",
         )(qkv_window, tim["table_w"], tim["index_w"], tim["mask_w"],
-          tim.get("bands_w"))
+          tim.get("bands_w"), w_win, b_win)
 
         if self.double_window:
             x_stripe = WindowAttention(
@@ -652,10 +811,11 @@ class MixedAttention(nn.Module):
             x_stripe = AnchorStripeAttention(
                 self.stripe_size_cfg, self.stripe_groups_cfg, self.stripe_shift,
                 self.num_heads_s, self.anchor_window_down_factor,
-                self.euclidean_dist, self.use_pallas, self.d_major,
-                name="stripe_attn",
+                self.euclidean_dist, self.use_pallas is True, self.d_major,
+                dtype=self.dtype, name="stripe_attn",
             )(qkv_stripe, anchor, tim["table_s"], tim["index_a2w"],
-              tim["index_w2a"], tim["mask_a2w"], tim["mask_w2a"])
+              tim["index_w2a"], tim["mask_a2w"], tim["mask_w2a"],
+              w_str, b_str)
         else:
             ssize = (tuple(self.window_size) if self.stripe_square
                      else self.stripe_size_cfg)
@@ -698,6 +858,7 @@ class EfficientMixAttnTransformerBlock(nn.Module):
     stripe_square: bool = False
     use_pallas: bool = False
     d_major: bool = False
+    attn_io: str = "legacy"
     # static attribute (not a call arg) so nn.remat needs no static_argnums
     deterministic: bool = True
     dtype: object = None
@@ -735,7 +896,8 @@ class EfficientMixAttnTransformerBlock(nn.Module):
             self.qkv_proj_type, self.anchor_proj_type, self.anchor_one_stage,
             self.anchor_window_down_factor, self.separable_conv_act,
             self.euclidean_dist, self.double_window, self.stripe_square,
-            self.use_pallas, self.d_major, dtype=self.dtype, name="attn",
+            self.use_pallas, self.d_major, self.attn_io, dtype=self.dtype,
+            name="attn",
         )
 
         def dp(y):

@@ -67,8 +67,10 @@ class GRLConfig:
     euclidean_dist: bool = False
     double_window: bool = False
     stripe_square: bool = False
-    # fused Pallas attention kernels (forward/inference path; TPU only)
-    use_pallas_attention: bool = False
+    # fused Pallas attention kernels (forward/inference path; TPU only):
+    # False | True (both halves) | "window" (window half only; the stripe
+    # kernel loses to XLA at stripe shapes — see ops/pallas/attention.py)
+    use_pallas_attention: object = False
     # Attention operand layout.  "dn" (default) keeps attention operands
     # token-minor (B, nW, h, d, N) and — critically — splits heads AFTER a
     # channel-major transpose, so no intermediate ever has trailing dims
@@ -77,6 +79,15 @@ class GRLConfig:
     # (2, 32) dims pad 32x, costing ~13% whole-model throughput (measured
     # 1.80 vs 1.59 MP/s, GRL-S x4 384² bf16).  Numerics identical.
     attn_layout: str = "dn"  # "dn" (token-minor) | "nd" (torch-like)
+    # Attention boundary handling.  "cm" (default) fuses the window/stripe
+    # partition with the channel-major conversion (one copy instead of two)
+    # and slices the shared qkv projection per half so roll/partition touch
+    # the C-wide block input instead of the 1.5C-wide qkv, with head
+    # split/merge as free channel-major reshapes.  Numerics identical
+    # (golden-tested); measured +8% inference throughput (GRL-S x4 256² bf16:
+    # 2.40 vs 2.23 MP/s).  Falls back to "legacy" automatically for conv qkv
+    # projections and the ablation attention branches.
+    attn_io: str = "cm"  # "cm" | "legacy"
     num_out_feats: int = 64
     remat: bool = False  # jax.checkpoint each transformer block
     # jax.checkpoint policy when remat is on: None = recompute everything
@@ -214,6 +225,7 @@ class TransformerStage(nn.Module):
                 stripe_square=cfg.stripe_square,
                 use_pallas=cfg.use_pallas_attention,
                 d_major=cfg.attn_layout == "dn",
+                attn_io=cfg.attn_io,
                 deterministic=deterministic,
                 dtype=cfg.compute_dtype,
                 name=f"blocks_{i}",

@@ -35,6 +35,34 @@ def window_reverse(x: jnp.ndarray, window_size: Size2, x_size: Size2) -> jnp.nda
     return x.reshape(B, H, W, C)
 
 
+def window_partition_cm(x: jnp.ndarray, window_size: Size2) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, nWin, C, wh*ww): windowed AND channel-major in ONE
+    transpose copy.
+
+    The "fused-boundary" attention path (attn_io="cm") consumes channel-major
+    window blocks so the qkv dense can be computed as einsum('kc,bwcn->bwkn')
+    with the token axis staying minor throughout — the separate
+    partition-then-swapaxes pair of full-tensor copies of the legacy path
+    collapses into this single copy."""
+    B, H, W, C = x.shape
+    wh, ww = window_size
+    x = x.reshape(B, H // wh, wh, W // ww, ww, C)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # (B, nH, nW, C, wh, ww)
+    return x.reshape(B, (H // wh) * (W // ww), C, wh * ww)
+
+
+def window_reverse_cm(x: jnp.ndarray, window_size: Size2,
+                      x_size: Size2) -> jnp.ndarray:
+    """(B, nWin, C, wh*ww) -> (B, H, W, C): inverse of window_partition_cm,
+    also a single transpose copy."""
+    H, W = x_size
+    wh, ww = window_size
+    B, _, C, _ = x.shape
+    x = x.reshape(B, H // wh, W // ww, C, wh, ww)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # (B, nH, wh, nW, ww, C)
+    return x.reshape(B, H, W, C)
+
+
 def pixel_shuffle(x: jnp.ndarray, scale: int) -> jnp.ndarray:
     """NHWC pixel shuffle with torch channel semantics.
 

@@ -71,12 +71,14 @@ def _attention_kernel(q_ref, k_ref, v_ref, scale_ref, bias_ref,
     out_ref[...] = out.astype(out_ref.dtype)
 
 
-def _auto_block_windows(W, h, N1, N2, d, budget_bytes=6 * 1024 * 1024):
+def _auto_block_windows(W, h, N1, N2, d, budget_bytes=4 * 1024 * 1024):
     """Largest divisor of W whose per-block VMEM footprint fits the budget.
 
     The kernel casts q/k/v to fp32 and holds the full (N1, N2) attention
-    matrix per window-head; scoped VMEM on v5e is 16MB, so stay well under
-    (stripe shapes like N2=768 at 384px OOM with a fixed 32-window block).
+    matrix per window-head; scoped VMEM on v5e is 16MB and Mosaic's stack
+    accounting adds input/output double-buffering on top of this estimate,
+    so stay well under (a 6MB budget measured 16.1M/16M stack OOM on the
+    512-token stripe shapes of the attn_io="cm" path).
     """
     per_window = 4 * h * (2 * N1 * d + 2 * N2 * d + 3 * N1 * N2)
     g = max(1, min(W, budget_bytes // max(per_window, 1)))
@@ -211,23 +213,32 @@ def _qkv_attention_kernel(qkv_ref, scale_ref, bias_ref, *rest,
 
 def fused_window_attention_qkv(qkv, logit_scale, bias, num_heads: int,
                                bands=None, block_windows: Optional[int] = None,
-                               interpret: Optional[bool] = None):
+                               interpret: Optional[bool] = None,
+                               channel_major: bool = False):
     """Fused window attention from partitioned qkv.
 
-    qkv: (B, nW, N, 3C); bias: (h, N, N) fp32; logit_scale raw (h, 1, 1);
+    qkv: (B, nW, N, 3C) — or (B, nW, 3C, N) with channel_major=True (the
+    attn_io="cm" path produces this layout directly, so no boundary swap is
+    paid at all); bias: (h, N, N) fp32; logit_scale raw (h, 1, 1);
     bands: optional (nW, N) int32 shift-mask band ids (geometry
     build_geometry_compact) -> additive {0,-100} mask built in-kernel.
-    Returns (B, nW, N, C).
+    Returns (B, nW, N, C) — (B, nW, C, N) when channel_major.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    B, nW, N, C3 = qkv.shape
+    if channel_major:
+        B, nW, C3, N = qkv.shape
+    else:
+        B, nW, N, C3 = qkv.shape
     C = C3 // 3
     h = num_heads
     W = B * nW
     # channel-major so the in-kernel head split never touches the lane dim;
     # minor N >= 64 also halves the padded HBM footprint vs d=32-minor
-    qf = jnp.swapaxes(qkv.reshape(W, N, C3), 1, 2)  # (W, 3C, N)
+    if channel_major:
+        qf = qkv.reshape(W, C3, N)
+    else:
+        qf = jnp.swapaxes(qkv.reshape(W, N, C3), 1, 2)  # (W, 3C, N)
 
     if block_windows is None:
         # fp32 in-kernel footprint: qkv + q/k/v splits + attn + out
@@ -265,6 +276,8 @@ def fused_window_attention_qkv(qkv, logit_scale, bias, num_heads: int,
         out_shape=jax.ShapeDtypeStruct((W, C, N), qkv.dtype),
         interpret=interpret,
     )(*args)
+    if channel_major:
+        return out.reshape(B, nW, C, N)
     return jnp.swapaxes(out, 1, 2).reshape(B, nW, N, C)
 
 

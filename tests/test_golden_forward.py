@@ -83,6 +83,29 @@ def test_golden_sr_pixelshuffledirect():
     _compare({**COMMON, "upscale": 4, "upsampler": "pixelshuffledirect"}, 64, 64)
 
 
+def test_golden_attn_io_cm():
+    """The boundary-fused attention path must hit the same torch oracle."""
+    _compare_extra({**COMMON, "upscale": 4, "upsampler": "pixelshuffledirect"},
+                   64, 64, attn_io="cm")
+
+
+def _compare_extra(torch_kwargs, h, w, atol=2e-5, in_ch=3, **extra):
+    tm = oracle.reference_grl(img_size=64, **torch_kwargs)
+    x = np.random.default_rng(0).standard_normal((1, in_ch, h, w)).astype(np.float32)
+    x = np.abs(x) % 1.0
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    cfg = _jax_config(torch_kwargs, **extra)
+    model = GRL(cfg)
+    template = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, h, w, in_ch), jnp.float32))
+    params = C.convert_torch_state_dict(oracle.state_dict_numpy(tm), template)
+    got = np.asarray(model.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
+                               atol=atol, rtol=1e-4)
+
+
 def test_golden_sr_pixelshuffle():
     _compare({**COMMON, "upscale": 2, "upsampler": "pixelshuffle"}, 64, 64)
 

@@ -168,6 +168,64 @@ def test_attn_layout_dn_matches_nd():
     np.testing.assert_allclose(got_p, want, atol=5e-5, rtol=1e-4)
 
 
+def test_attn_io_cm_matches_legacy():
+    """Boundary-fused attn_io="cm" is numerics-identical to the legacy path
+    (same params, same outputs): partition+channel-major conversion collapses
+    to one copy and the qkv projection is applied per half via einsum."""
+    from dataclasses import replace
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from grlir.models.grl import GRL, GRLConfig
+
+    cfg = GRLConfig(
+        embed_dim=32, upscale=2, upsampler="pixelshuffledirect", depths=(2,),
+        num_heads_window=(2,), num_heads_stripe=(2,), window_size=8,
+        mlp_ratio=2, stripe_size=(8, None), stripe_groups=(None, 4),
+        stripe_shift=True, anchor_window_down_factor=4, drop_path_rate=0.0,
+    )
+    x = jnp.asarray(np.random.default_rng(3).random((1, 32, 32, 3)), jnp.float32)
+    model = GRL(cfg)
+    params = model.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(model.apply(params, x))
+
+    cm = GRL(replace(cfg, attn_io="cm"))
+    # identical parameter trees: cm must load any legacy/converted checkpoint
+    params_cm = cm.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(params_cm)
+            == jax.tree_util.tree_structure(params))
+    got = np.asarray(cm.apply(params, x))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+    # composes with the fused window kernel (channel-major entry, no swaps)
+    got_p = np.asarray(
+        GRL(replace(cfg, attn_io="cm", use_pallas_attention="window")).apply(
+            params, x))
+    np.testing.assert_allclose(got_p, want, atol=5e-5, rtol=1e-4)
+    # and with both-halves pallas
+    got_p2 = np.asarray(
+        GRL(replace(cfg, attn_io="cm", use_pallas_attention=True)).apply(
+            params, x))
+    np.testing.assert_allclose(got_p2, want, atol=5e-5, rtol=1e-4)
+
+
+def test_attn_io_cm_grayscale_and_nonsquare():
+    """cm path on 1-channel odd-size input (padding + grayscale)."""
+    from dataclasses import replace
+
+    cfg = zoo.make_config("tiny", task="jpeg", in_channels=1, out_channels=1)
+    cfg = replace(cfg, attn_io="cm")
+    model = GRL(cfg)
+    x = jnp.asarray(np.random.default_rng(5).random((1, 37, 41, 1)),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = np.asarray(model.apply(params, x))
+    assert y.shape == (1, 37, 41, 1)
+    assert np.isfinite(y).all()
+
+
 def test_remat_policy_gradients_match():
     """remat policies change recompute strategy only — gradients must be
     identical to the no-remat reference."""

@@ -191,11 +191,18 @@ class AffineTransform(nn.Module):
         self.cpb_mlp = CPBMlp(self.num_heads, name="cpb_mlp")
 
     def bias(self, table, index):
-        """(heads, N1, N2) continuous position bias."""
+        """(heads, N1, N2) continuous position bias.
+
+        The sigmoid/scale runs on the SMALL (table_len, heads) MLP output and
+        heads move to the front before the gather, so the big (N1, N2) tensor
+        is produced by a single fusable gather — the naive order (gather,
+        then 16*sigmoid, then transpose) materialized two (N1*N2, heads)
+        fp32 temporaries per attention, which dominated GRL-base window-32
+        HBM traffic (measured 1.27 s/tile -> see tools/bench_base_tile.py).
+        """
         bias_table = self.cpb_mlp(table).reshape(-1, self.num_heads)
-        N1, N2 = index.shape
-        b = bias_table[index.reshape(-1)].reshape(N1, N2, self.num_heads)
-        return (16.0 * jax.nn.sigmoid(b)).transpose(2, 0, 1)
+        bt = (16.0 * jax.nn.sigmoid(bias_table)).T  # (heads, table_len) small
+        return bt[:, index]  # (heads, N1, N2) one gather
 
     def __call__(self, attn, table, index, mask):
         # compute in attn's dtype so a bf16 attention matrix stays bf16
@@ -205,6 +212,11 @@ class AffineTransform(nn.Module):
         if mask is not None:
             attn = attn + mask.astype(attn.dtype)[None, :, None, :, :]
         return attn
+
+
+# token count above which the fused path uses the flash-tiled kernel
+# (ops/pallas/flash_attention.py) instead of the whole-window v2 kernel
+_FLASH_MIN_TOKENS = 256
 
 
 def _l2_normalize(x, eps=1e-12, axis=-1):
@@ -388,16 +400,30 @@ class WindowAttention(nn.Module):
         qkv = _qkv_cm(xw, wqkv, bqkv, self.dtype)      # (B, nW, 3Cw, N)
         transform = AffineTransform(h, name="attn_transform")
 
+        N_tok = self.window_size[0] * self.window_size[1]
         if self.use_pallas and not self.euclidean_dist:
-            from grlir.ops.pallas.attention import fused_window_attention_qkv
-
             if self.window_shift and bands is None:
                 raise ValueError(
                     "use_pallas window attention with window_shift requires "
                     "band ids (geometry['bands_w'])")
-            y = fused_window_attention_qkv(
-                qkv, transform.logit_scale, transform.bias(table, index),
-                h, bands if self.window_shift else None, channel_major=True)
+            if N_tok > _FLASH_MIN_TOKENS:
+                from grlir.ops.pallas.flash_attention import flash_rect_attention
+
+                Bq, nW, C3, N = qkv.shape
+                t = qkv.reshape(Bq, nW, 3, h, C3 // 3 // h, N)
+                q, k, v = t[:, :, 0], t[:, :, 1], t[:, :, 2]
+                wb = bands if self.window_shift else None
+                y = flash_rect_attention(
+                    q, k, v, transform.logit_scale,
+                    transform.bias(table, index), bands_q=wb, bands_k=wb)
+                y = y.reshape(Bq, nW, C3 // 3, N)
+            else:
+                from grlir.ops.pallas.attention import fused_window_attention_qkv
+
+                y = fused_window_attention_qkv(
+                    qkv, transform.logit_scale, transform.bias(table, index),
+                    h, bands if self.window_shift else None,
+                    channel_major=True)
         else:
             Bq, nW, C3, N = qkv.shape
             t = qkv.reshape(Bq, nW, 3, h, C3 // 3 // h, N)
@@ -433,7 +459,7 @@ class AnchorStripeAttention(nn.Module):
 
     @nn.compact
     def __call__(self, qkv, anchor, table, index_a2w, index_w2a, mask_a2w,
-                 mask_w2a, wqkv=None, bqkv=None):
+                 mask_w2a, wqkv=None, bqkv=None, bands=None, bands_a=None):
         # legacy: qkv (B, H, W, 3*Cs).  Boundary-fused (attn_io="cm"): qkv is
         # the block input x (B, H, W, C) + this half's projection slice (see
         # WindowAttention).  anchor: (B, H/df, W/df, Cs) either way.
@@ -450,7 +476,7 @@ class AnchorStripeAttention(nn.Module):
             return self._forward_cm(
                 qkv, anchor, table, index_a2w, index_w2a, mask_a2w, mask_w2a,
                 wqkv, bqkv, stripe_size, shift_size, anchor_stripe,
-                anchor_shift)
+                anchor_shift, bands, bands_a)
 
         if self.stripe_shift:
             qkv = jnp.roll(qkv, (-shift_size[0], -shift_size[1]), axis=(1, 2))
@@ -482,7 +508,7 @@ class AnchorStripeAttention(nn.Module):
 
     def _forward_cm(self, x, anchor, table, index_a2w, index_w2a, mask_a2w,
                     mask_w2a, wqkv, bqkv, stripe_size, shift_size,
-                    anchor_stripe, anchor_shift):
+                    anchor_stripe, anchor_shift, bands=None, bands_a=None):
         """Boundary-fused anchored stripe attention (see WindowAttention
         _forward_cm): channel-major partition + free head splits."""
         B, H, W, _ = x.shape
@@ -501,16 +527,34 @@ class AnchorStripeAttention(nn.Module):
         t = qkv.reshape(Bq, nW, 3, h, Cs // h, N1)
         q, k, v = t[:, :, 0], t[:, :, 1], t[:, :, 2]
         a = anchor.reshape(Bq, nW, h, Cs // h, -1)
+        N2 = a.shape[-1]
 
         t1 = AffineTransform(h, name="attn_transform1")
         t2 = AffineTransform(h, name="attn_transform2")
-        m_a2w = mask_a2w if self.stripe_shift else None
-        m_w2a = mask_w2a if self.stripe_shift else None
 
-        y = cosine_attention(a, k, v, t1, table, index_a2w, m_a2w,
-                             self.euclidean_dist, self.use_pallas, True)
-        y = cosine_attention(q, a, y, t2, table, index_w2a, m_w2a,
-                             self.euclidean_dist, self.use_pallas, True)
+        if (self.use_pallas and not self.euclidean_dist
+                and max(N1, N2) > _FLASH_MIN_TOKENS
+                and (not self.stripe_shift or bands is not None)):
+            # large-geometry route: per-tile fused attention, matrices never
+            # reach HBM (ops/pallas/flash_attention.py)
+            from grlir.ops.pallas.flash_attention import flash_rect_attention
+
+            shift = self.stripe_shift
+            y = flash_rect_attention(
+                a, k, v, t1.logit_scale, t1.bias(table, index_a2w),
+                bands_q=bands_a if shift else None,
+                bands_k=bands if shift else None)
+            y = flash_rect_attention(
+                q, a, y, t2.logit_scale, t2.bias(table, index_w2a),
+                bands_q=bands if shift else None,
+                bands_k=bands_a if shift else None)
+        else:
+            m_a2w = mask_a2w if self.stripe_shift else None
+            m_w2a = mask_w2a if self.stripe_shift else None
+            y = cosine_attention(a, k, v, t1, table, index_a2w, m_a2w,
+                                 self.euclidean_dist, self.use_pallas, True)
+            y = cosine_attention(q, a, y, t2, table, index_w2a, m_w2a,
+                                 self.euclidean_dist, self.use_pallas, True)
 
         y = y.reshape(Bq, nW, Cs, N1)  # merge heads (free, channel-major)
         y = window_reverse_cm(y, stripe_size, (H, W))
@@ -815,7 +859,7 @@ class MixedAttention(nn.Module):
                 dtype=self.dtype, name="stripe_attn",
             )(qkv_stripe, anchor, tim["table_s"], tim["index_a2w"],
               tim["index_w2a"], tim["mask_a2w"], tim["mask_w2a"],
-              w_str, b_str)
+              w_str, b_str, tim.get("bands_s"), tim.get("bands_s_a"))
         else:
             ssize = (tuple(self.window_size) if self.stripe_square
                      else self.stripe_size_cfg)
@@ -877,6 +921,8 @@ class EfficientMixAttnTransformerBlock(nn.Module):
             "index_w2a": g[f"index_{s}_w2a"],
             "mask_a2w": g[f"mask_{s}_a2w"],
             "mask_w2a": g[f"mask_{s}_w2a"],
+            "bands_s": g.get(f"bands_{s}"),
+            "bands_s_a": g.get(f"bands_{s}_a"),
         }
 
     @nn.compact

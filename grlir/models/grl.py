@@ -268,6 +268,9 @@ class GRL(nn.Module):
             ba = jnp.asarray(raw[f"bands_{s}_a"])
             geometry[f"mask_{s}_a2w"] = _inflate_mask(ba, b, cfg.compute_dtype)
             geometry[f"mask_{s}_w2a"] = _inflate_mask(b, ba, cfg.compute_dtype)
+            # flash kernels rebuild the mask in-kernel from the band maps
+            geometry[f"bands_{s}"] = b
+            geometry[f"bands_{s}_a"] = ba
 
         def features(feat):
             feat = layer_norm(feat, name="norm_start")

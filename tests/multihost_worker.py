@@ -1,15 +1,19 @@
-"""Worker process for the 2-process multi-host smoke test.
+"""Worker process for the multi-host smoke tests.
 
 Run as: python multihost_worker.py <process_id> <num_processes> <port>
-Each process gets 2 virtual CPU devices (XLA_FLAGS set by the launcher), so
-2 processes form a 4-device global ``data`` mesh.  Exercises the real
-multi-host code paths end-to-end:
+                                   [<ckpt_dir> <save|restore>]
+Each process gets XLA_FLAGS-many virtual CPU devices (set by the launcher);
+processes form one global ``data`` mesh.  Exercises the real multi-host code
+paths end-to-end:
   - jax.distributed.initialize + gloo CPU collectives
   - make_train_step with per-process batch shards assembled via
     jax.make_array_from_process_local_data (grad all-reduce across hosts)
   - DataLoader shard=(rank, world) striding
   - MetricAccumulator.gather_across_hosts + dedup (DistributedSampler-style
-    padding duplicate neutralized)
+    padding duplicate neutralized), including UNEVEN splits where short ranks
+    pad with a duplicate index
+  - optional distributed checkpoint save, then restore under a DIFFERENT
+    process count (4 procs x 1 dev -> 2 procs x 2 dev)
 
 Prints one JSON line per process for the launcher to compare.
 """
@@ -23,6 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    ckpt_dir = sys.argv[4] if len(sys.argv) > 4 else None
+    phase = sys.argv[5] if len(sys.argv) > 5 else None
 
     import jax
 
@@ -81,23 +87,46 @@ def main():
         lambda x: jax.make_array_from_process_local_data(rep, np.asarray(x)),
         state)
 
-    losses = []
     key = jax.make_array_from_process_local_data(
         rep, np.asarray(jax.random.PRNGKey(1)))
+
+    if phase == "restore":
+        # restore a checkpoint written under a DIFFERENT process count:
+        # StandardRestore onto this run's replicated sharding template
+        from grlir.utils.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(ckpt_dir)
+        state_sh = mgr.restore(state_sh)
+        mgr.close()
+
+    losses = []
     for _ in range(2):
         state_sh, metrics = step(state_sh, batch, key)
         losses.append(float(metrics["loss"]))
 
+    if phase == "save":
+        from grlir.utils.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(ckpt_dir)
+        mgr.save(2, state_sh, {"val_psnr": 30.0})
+        mgr.close()
+
     # loader striding: rank sees items pid, pid+nproc, ... (loader.py:72-74)
     my_items = list(range(10))[pid::nproc]
 
-    # metric gather with an overlapping (padded) index on both hosts
+    # metric gather with overlapping (padded) indices: with an uneven split
+    # (10 items, nproc=4 -> 3/3/2/2) short ranks re-submit their first item,
+    # mirroring DistributedSampler padding; dedup must neutralize every copy
     acc = MetricAccumulator(["psnr"])
-    vals = {0: 30.0, 1: 32.0, 2: 34.0, 3: 36.0}
+    vals = {i: 30.0 + i for i in range(10)}
     for i in my_items:
-        if i < 4:
-            acc.update({"psnr": np.asarray([vals[i]])}, np.asarray([i]))
-    acc.update({"psnr": np.asarray([vals[0]])}, np.asarray([0]))  # pad dup
+        acc.update({"psnr": np.asarray([vals[i]])}, np.asarray([i]))
+    max_count = -(-10 // nproc)
+    for _ in range(max_count - len(my_items)):
+        acc.update({"psnr": np.asarray([vals[my_items[0]]])},
+                   np.asarray([my_items[0]]))
+    if nproc == 2:
+        acc.update({"psnr": np.asarray([vals[0]])}, np.asarray([0]))  # pad dup
     acc.gather_across_hosts()
     gathered = acc.compute()["psnr"]
 

@@ -61,7 +61,66 @@ def test_two_process_train_and_gather():
     assert sorted(r0["my_items"] + r1["my_items"]) == list(range(10))
     assert not set(r0["my_items"]) & set(r1["my_items"])
     # gather_across_hosts: both hosts agree; the duplicated pad index (0)
-    # was deduped, so the mean is over the 4 unique images
-    expected = (30.0 + 32.0 + 34.0 + 36.0) / 4
+    # was deduped, so the mean is over the 10 unique images
+    expected = sum(30.0 + i for i in range(10)) / 10
     assert r0["psnr_gathered"] == pytest.approx(expected, abs=1e-6)
     assert r1["psnr_gathered"] == pytest.approx(expected, abs=1e-6)
+
+
+def _launch(nproc, devs_per_proc, port, extra=(), timeout=600):
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={devs_per_proc}"
+    env.pop("JAX_PLATFORMS", None)
+    script = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    workers = [
+        subprocess.Popen(
+            [sys.executable, script, str(pid), str(nproc), str(port)]
+            + list(extra),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            cwd=os.path.dirname(os.path.dirname(script)), text=True)
+        for pid in range(nproc)
+    ]
+    outs = []
+    for w in workers:
+        try:
+            out, err = w.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for ww in workers:
+                ww.kill()
+            pytest.fail("multi-host worker timed out")
+        assert w.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    return sorted(outs, key=lambda r: r["pid"])
+
+
+@pytest.mark.slow
+def test_four_process_uneven_split_and_ckpt_restore(tmp_path):
+    """4 procs x 1 dev: uneven val split (3/3/2/2 with pad dups) + distributed
+    checkpoint save; then restore the SAME checkpoint under 2 procs x 2 devs
+    and continue training (reference parity: DistributedSampler padding +
+    resume on a different world size, SURVEY.md §2.7)."""
+    ckpt = str(tmp_path / "ckpt")
+
+    outs4 = _launch(4, 1, _free_port(), extra=[ckpt, "save"])
+    assert [r["n_global"] for r in outs4] == [4] * 4
+    assert [r["n_local"] for r in outs4] == [1] * 4
+    # lockstep SPMD across 4 hosts
+    for r in outs4[1:]:
+        assert r["losses"] == pytest.approx(outs4[0]["losses"], rel=1e-6)
+    # stride split is uneven: 3/3/2/2, disjoint, covering
+    counts = [len(r["my_items"]) for r in outs4]
+    assert counts == [3, 3, 2, 2]
+    allitems = sorted(i for r in outs4 for i in r["my_items"])
+    assert allitems == list(range(10))
+    # dedup kills the short-rank padding duplicates
+    expected = sum(30.0 + i for i in range(10)) / 10
+    for r in outs4:
+        assert r["psnr_gathered"] == pytest.approx(expected, abs=1e-6)
+
+    outs2 = _launch(2, 2, _free_port(), extra=[ckpt, "restore"])
+    assert [r["n_global"] for r in outs2] == [4, 4]
+    assert [r["n_local"] for r in outs2] == [2, 2]
+    assert outs2[0]["losses"] == pytest.approx(outs2[1]["losses"], rel=1e-6)
+    # restored state continues from the 4-proc run: first post-restore loss
+    # continues the optimization (strictly below the cold-start first loss)
+    assert outs2[0]["losses"][0] < outs4[0]["losses"][0]

@@ -193,16 +193,17 @@ class AffineTransform(nn.Module):
     def bias(self, table, index):
         """(heads, N1, N2) continuous position bias.
 
-        The sigmoid/scale runs on the SMALL (table_len, heads) MLP output and
-        heads move to the front before the gather, so the big (N1, N2) tensor
-        is produced by a single fusable gather — the naive order (gather,
-        then 16*sigmoid, then transpose) materialized two (N1*N2, heads)
-        fp32 temporaries per attention, which dominated GRL-base window-32
-        HBM traffic (measured 1.27 s/tile -> see tools/bench_base_tile.py).
+        The sigmoid/scale runs on the SMALL (table_len, heads) MLP output,
+        then each head gathers its OWN 1D table with the (N1, N2) index, so
+        every materialized tensor is token-minor.  Any layout with the heads
+        axis minor is catastrophic under TPU tiling: heads (2-6) pad to 128
+        lanes, and a heads-minor gather moved ~195 GB of padded HBM traffic
+        per GRL-base window-32 tile — 45% of the whole forward
+        (tools/hlo_audit.py; 1.11 s/tile before this fix).
         """
         bias_table = self.cpb_mlp(table).reshape(-1, self.num_heads)
-        bt = (16.0 * jax.nn.sigmoid(bias_table)).T  # (heads, table_len) small
-        return bt[:, index]  # (heads, N1, N2) one gather
+        bt = 16.0 * jax.nn.sigmoid(bias_table.T)  # (heads, table_len) small
+        return jnp.stack([bt[i][index] for i in range(self.num_heads)])
 
     def __call__(self, attn, table, index, mask):
         # compute in attn's dtype so a bf16 attention matrix stays bf16

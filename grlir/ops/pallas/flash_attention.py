@@ -50,6 +50,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, scale_ref, bias_ref, *rest,
         neq = bq_ref[0, 0][:, None] != bk_ref[0, 0][None, :]  # (T1, N2)
         mask = jnp.where(neq, -100.0, 0.0)
 
+    # MXU operands stay in the input dtype (fp32 accumulation is implicit):
+    # cosine-normalized q/k are in [-1,1] so bf16 operands lose nothing, and
+    # bf16 MXU rate is 4x fp32 — the d=30-contraction QK^T is util-bound
+    # enough without also paying the fp32 rate.
+    mxu_dt = q_ref.dtype
     for hh in range(h):
         qh = q[hh].astype(jnp.float32)  # (d, T1)
         kh = k[hh].astype(jnp.float32)  # (d, N2)
@@ -58,18 +63,19 @@ def _flash_kernel(q_ref, k_ref, v_ref, scale_ref, bias_ref, *rest,
         kn = kh * jax.lax.rsqrt(
             jnp.maximum(jnp.sum(kh * kh, 0, keepdims=True), 1e-24))
         attn = jax.lax.dot_general(
-            qn, kn, dimension_numbers=(((0,), (0,)), ((), ())),
+            qn.astype(mxu_dt), kn.astype(mxu_dt),
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (T1, N2)
+        )  # (T1, N2) fp32
         attn = attn * scale_ref[hh, 0] + bias_ref[hh][...].astype(jnp.float32)
         if has_bands:
             attn = attn + mask
         attn = jax.nn.softmax(attn, axis=-1)
         out = jax.lax.dot_general(
-            v[hh].astype(jnp.float32), attn,
+            v[hh], attn.astype(mxu_dt),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (d, T1)
+        )  # (d, T1) fp32
         out_ref[0, hh * d:(hh + 1) * d, :] = out.astype(out_ref.dtype)
 
 

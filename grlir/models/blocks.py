@@ -190,26 +190,40 @@ class AffineTransform(nn.Module):
         )
         self.cpb_mlp = CPBMlp(self.num_heads, name="cpb_mlp")
 
-    def bias(self, table, index):
+    def bias(self, table, index, factors=None):
         """(heads, N1, N2) continuous position bias.
 
-        The sigmoid/scale runs on the SMALL (table_len, heads) MLP output,
-        then each head gathers its OWN 1D table with the (N1, N2) index, so
-        every materialized tensor is token-minor.  Any layout with the heads
-        axis minor is catastrophic under TPU tiling: heads (2-6) pad to 128
-        lanes, and a heads-minor gather moved ~195 GB of padded HBM traffic
-        per GRL-base window-32 tile — 45% of the whole forward
-        (tools/hlo_audit.py; 1.11 s/tile before this fix).
+        With ``factors`` (the (Y1,Y2,Th)/(X1,X2,Tw) one-hot pair from
+        ops/geometry.py:get_bias_factors) the block-Toeplitz bias matrix is
+        built by two small fp32 MATMULS over the (Th, Tw) table — exact
+        (one selected term per output, fp32 accumulate) and ~100x faster
+        than gathering: a 4M-element gather costs ~9 ms on TPU regardless
+        of layout (measured: row/column/lax.gather variants all ~9 ms,
+        per-head 1D gathers 100 ms), which made the CPB gathers ~70% of a
+        GRL-base window-32 tile.  The gather fallback serves callers
+        without factor geometry (ablations, external indices); it keeps
+        the sigmoid on the small table and the big output token-minor —
+        heads-minor layouts pad 2-6 heads to 128 lanes (43x traffic).
         """
-        bias_table = self.cpb_mlp(table).reshape(-1, self.num_heads)
-        bt = 16.0 * jax.nn.sigmoid(bias_table.T)  # (heads, table_len) small
-        return jnp.stack([bt[i][index] for i in range(self.num_heads)])
+        bias_table = self.cpb_mlp(table)  # (1, Th, Tw, heads)
+        h = self.num_heads
+        if factors is not None:
+            py, px = factors
+            c = 16.0 * jax.nn.sigmoid(
+                bias_table.reshape(py.shape[-1], px.shape[-1], h))
+            out = jnp.einsum("abt,tuh,cdu->hacbd", py, c, px,
+                             preferred_element_type=jnp.float32)
+            return out.reshape(
+                h, py.shape[0] * px.shape[0], py.shape[1] * px.shape[1])
+        bt = 16.0 * jax.nn.sigmoid(bias_table.reshape(-1, h).T)
+        return bt[:, index]  # (heads, N1, N2)
 
-    def __call__(self, attn, table, index, mask):
+    def __call__(self, attn, table, index, mask, factors=None):
         # compute in attn's dtype so a bf16 attention matrix stays bf16
         scale = jnp.exp(jnp.minimum(self.logit_scale, math.log(1.0 / 0.01)))
         attn = attn * scale.astype(attn.dtype)
-        attn = attn + self.bias(table, index).astype(attn.dtype)[None, None]
+        attn = attn + self.bias(table, index, factors).astype(
+            attn.dtype)[None, None]
         if mask is not None:
             attn = attn + mask.astype(attn.dtype)[None, :, None, :, :]
         return attn
@@ -228,7 +242,7 @@ def _l2_normalize(x, eps=1e-12, axis=-1):
 
 def cosine_attention(q, k, v, transform, table, index, mask,
                      euclidean_dist: bool = False, use_pallas: bool = False,
-                     d_major: bool = False):
+                     d_major: bool = False, factors=None):
     """Shared attention core (mixed_attn_block_efficient.py:77-94).
 
     Default layout: q (B, nW, heads, N1, d); k, v (B, nW, heads, N2, d)
@@ -245,7 +259,8 @@ def cosine_attention(q, k, v, transform, table, index, mask,
         if d_major:
             q, k, v = (jnp.swapaxes(t, -1, -2) for t in (q, k, v))
         out = fused_cosine_attention_auto(
-            q, k, v, transform.logit_scale, transform.bias(table, index), mask)
+            q, k, v, transform.logit_scale,
+            transform.bias(table, index, factors), mask)
         return jnp.swapaxes(out, -1, -2) if d_major else out
     if euclidean_dist and d_major:
         q, k, v = (jnp.swapaxes(t, -1, -2) for t in (q, k, v))
@@ -275,7 +290,7 @@ def cosine_attention(q, k, v, transform, table, index, mask,
             _l2_normalize(k),
             **acc,
         )
-    attn = transform(attn, table, index, mask)
+    attn = transform(attn, table, index, mask, factors)
     attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
     if d_major:
         out = jnp.einsum("...nm,...dm->...dn", attn, v, **acc)
@@ -346,14 +361,15 @@ class WindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, qkv, table, index, mask, bands=None,
-                 wqkv=None, bqkv=None):
+                 wqkv=None, bqkv=None, factors=None):
         # legacy: qkv (B, H, W, 3*Cw).  Boundary-fused (attn_io="cm"): qkv is
         # the block INPUT x (B, H, W, C) and (wqkv, bqkv) is this half's slice
         # of the shared projection — roll/partition then touch the C-wide x
         # instead of the 1.5C-wide qkv, and the channel-major dense output
         # makes the head split free (no swapaxes copy).
         if wqkv is not None:
-            return self._forward_cm(qkv, table, index, mask, bands, wqkv, bqkv)
+            return self._forward_cm(qkv, table, index, mask, bands,
+                                    wqkv, bqkv, factors)
         B, H, W, _ = qkv.shape
         shift = self.window_size[0] // 2 if self.window_shift else 0
 
@@ -376,20 +392,23 @@ class WindowAttention(nn.Module):
                     "use_pallas window attention with window_shift requires "
                     "band ids (geometry['bands_w'])")
             x = fused_window_attention_qkv(
-                qkv, transform.logit_scale, transform.bias(table, index),
+                qkv, transform.logit_scale,
+                transform.bias(table, index, factors),
                 self.num_heads, bands if self.window_shift else None)
         else:
             q, k, v = _split_qkv_heads(qkv, self.num_heads, self.d_major)
             x = cosine_attention(q, k, v, transform, table, index,
                                  mask if self.window_shift else None,
-                                 self.euclidean_dist, False, self.d_major)
+                                 self.euclidean_dist, False, self.d_major,
+                                 factors)
             x = _merge_heads(x, self.d_major)
         x = window_reverse(x, self.window_size, (H, W))
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
         return x
 
-    def _forward_cm(self, x, table, index, mask, bands, wqkv, bqkv):
+    def _forward_cm(self, x, table, index, mask, bands, wqkv, bqkv,
+                    factors=None):
         """Boundary-fused window attention: one channel-major partition copy,
         head split/merge as free reshapes, channel-major reverse."""
         B, H, W, _ = x.shape
@@ -416,13 +435,15 @@ class WindowAttention(nn.Module):
                 wb = bands if self.window_shift else None
                 y = flash_rect_attention(
                     q, k, v, transform.logit_scale,
-                    transform.bias(table, index), bands_q=wb, bands_k=wb)
+                    transform.bias(table, index, factors),
+                    bands_q=wb, bands_k=wb)
                 y = y.reshape(Bq, nW, C3 // 3, N)
             else:
                 from grlir.ops.pallas.attention import fused_window_attention_qkv
 
                 y = fused_window_attention_qkv(
-                    qkv, transform.logit_scale, transform.bias(table, index),
+                    qkv, transform.logit_scale,
+                    transform.bias(table, index, factors),
                     h, bands if self.window_shift else None,
                     channel_major=True)
         else:
@@ -431,7 +452,7 @@ class WindowAttention(nn.Module):
             q, k, v = t[:, :, 0], t[:, :, 1], t[:, :, 2]
             y = cosine_attention(q, k, v, transform, table, index,
                                  mask if self.window_shift else None,
-                                 self.euclidean_dist, False, True)
+                                 self.euclidean_dist, False, True, factors)
             y = y.reshape(Bq, nW, C3 // 3, N)  # merge heads (free, channel-major)
         y = window_reverse_cm(y, self.window_size, (H, W))
         if shift > 0:
@@ -460,7 +481,8 @@ class AnchorStripeAttention(nn.Module):
 
     @nn.compact
     def __call__(self, qkv, anchor, table, index_a2w, index_w2a, mask_a2w,
-                 mask_w2a, wqkv=None, bqkv=None, bands=None, bands_a=None):
+                 mask_w2a, wqkv=None, bqkv=None, bands=None, bands_a=None,
+                 fac_a2w=None, fac_w2a=None):
         # legacy: qkv (B, H, W, 3*Cs).  Boundary-fused (attn_io="cm"): qkv is
         # the block input x (B, H, W, C) + this half's projection slice (see
         # WindowAttention).  anchor: (B, H/df, W/df, Cs) either way.
@@ -477,7 +499,7 @@ class AnchorStripeAttention(nn.Module):
             return self._forward_cm(
                 qkv, anchor, table, index_a2w, index_w2a, mask_a2w, mask_w2a,
                 wqkv, bqkv, stripe_size, shift_size, anchor_stripe,
-                anchor_shift, bands, bands_a)
+                anchor_shift, bands, bands_a, fac_a2w, fac_w2a)
 
         if self.stripe_shift:
             qkv = jnp.roll(qkv, (-shift_size[0], -shift_size[1]), axis=(1, 2))
@@ -496,10 +518,10 @@ class AnchorStripeAttention(nn.Module):
 
         x = cosine_attention(a, k, v, t1, table, index_a2w, m_a2w,
                              self.euclidean_dist, self.use_pallas,
-                             self.d_major)
+                             self.d_major, fac_a2w)
         x = cosine_attention(q, a, x, t2, table, index_w2a, m_w2a,
                              self.euclidean_dist, self.use_pallas,
-                             self.d_major)
+                             self.d_major, fac_w2a)
 
         x = _merge_heads(x, self.d_major)
         x = window_reverse(x, stripe_size, (H, W))
@@ -509,7 +531,8 @@ class AnchorStripeAttention(nn.Module):
 
     def _forward_cm(self, x, anchor, table, index_a2w, index_w2a, mask_a2w,
                     mask_w2a, wqkv, bqkv, stripe_size, shift_size,
-                    anchor_stripe, anchor_shift, bands=None, bands_a=None):
+                    anchor_stripe, anchor_shift, bands=None, bands_a=None,
+                    fac_a2w=None, fac_w2a=None):
         """Boundary-fused anchored stripe attention (see WindowAttention
         _forward_cm): channel-major partition + free head splits."""
         B, H, W, _ = x.shape
@@ -542,20 +565,22 @@ class AnchorStripeAttention(nn.Module):
 
             shift = self.stripe_shift
             y = flash_rect_attention(
-                a, k, v, t1.logit_scale, t1.bias(table, index_a2w),
+                a, k, v, t1.logit_scale, t1.bias(table, index_a2w, fac_a2w),
                 bands_q=bands_a if shift else None,
                 bands_k=bands if shift else None)
             y = flash_rect_attention(
-                q, a, y, t2.logit_scale, t2.bias(table, index_w2a),
+                q, a, y, t2.logit_scale, t2.bias(table, index_w2a, fac_w2a),
                 bands_q=bands if shift else None,
                 bands_k=bands_a if shift else None)
         else:
             m_a2w = mask_a2w if self.stripe_shift else None
             m_w2a = mask_w2a if self.stripe_shift else None
             y = cosine_attention(a, k, v, t1, table, index_a2w, m_a2w,
-                                 self.euclidean_dist, self.use_pallas, True)
+                                 self.euclidean_dist, self.use_pallas, True,
+                                 fac_a2w)
             y = cosine_attention(q, a, y, t2, table, index_w2a, m_w2a,
-                                 self.euclidean_dist, self.use_pallas, True)
+                                 self.euclidean_dist, self.use_pallas, True,
+                                 fac_w2a)
 
         y = y.reshape(Bq, nW, Cs, N1)  # merge heads (free, channel-major)
         y = window_reverse_cm(y, stripe_size, (H, W))
@@ -839,7 +864,7 @@ class MixedAttention(nn.Module):
             self.euclidean_dist, bool(self.use_pallas), self.d_major,
             dtype=self.dtype, name="window_attn",
         )(qkv_window, tim["table_w"], tim["index_w"], tim["mask_w"],
-          tim.get("bands_w"), w_win, b_win)
+          tim.get("bands_w"), w_win, b_win, tim.get("fac_w"))
 
         if self.double_window:
             x_stripe = WindowAttention(
@@ -860,7 +885,8 @@ class MixedAttention(nn.Module):
                 dtype=self.dtype, name="stripe_attn",
             )(qkv_stripe, anchor, tim["table_s"], tim["index_a2w"],
               tim["index_w2a"], tim["mask_a2w"], tim["mask_w2a"],
-              w_str, b_str, tim.get("bands_s"), tim.get("bands_s_a"))
+              w_str, b_str, tim.get("bands_s"), tim.get("bands_s_a"),
+              tim.get("fac_a2w"), tim.get("fac_w2a"))
         else:
             ssize = (tuple(self.window_size) if self.stripe_square
                      else self.stripe_size_cfg)
@@ -924,6 +950,14 @@ class EfficientMixAttnTransformerBlock(nn.Module):
             "mask_w2a": g[f"mask_{s}_w2a"],
             "bands_s": g.get(f"bands_{s}"),
             "bands_s_a": g.get(f"bands_{s}_a"),
+            # one-hot bias factors (None when absent, e.g. hand-built
+            # geometry dicts in unit tests -> gather fallback)
+            "fac_w": (g["bfac_w_y"], g["bfac_w_x"])
+                     if "bfac_w_y" in g else None,
+            "fac_a2w": (g[f"bfac_{s}_a2w_y"], g[f"bfac_{s}_a2w_x"])
+                       if f"bfac_{s}_a2w_y" in g else None,
+            "fac_w2a": (g[f"bfac_{s}_w2a_y"], g[f"bfac_{s}_w2a_x"])
+                       if f"bfac_{s}_w2a_y" in g else None,
         }
 
     @nn.compact

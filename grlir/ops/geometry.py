@@ -205,6 +205,45 @@ def get_relative_position_index(
     return idx.astype(np.int32)
 
 
+def get_bias_factors(
+    window_size: Size2,
+    anchor_window_down_factor: int = 1,
+    window_to_anchor: bool = True,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """One-hot factor matrices (Py, Px) of the relative-position index.
+
+    The flat index of get_relative_position_index is 2D-separable:
+    ``index[(y1,x1),(y2,x2)] = ry[y1,y2] * Tw + rx[x1,x2]`` — so the
+    (N1, N2) bias matrix is a 2D block-Toeplitz arrangement of the small
+    (Th, Tw) table and can be built with two tiny one-hot MATMULS instead
+    of an N1*N2-element gather.  On TPU the gather is the whole ballgame:
+    a 4M-element gather costs ~9 ms however laid out (measured, all four
+    gather strategies), i.e. ~800 ms of a GRL-base window-32 tile, while
+    the two matmuls are ~100x cheaper and run on the MXU.
+
+    Returns Py (Y1, Y2, Th) and Px (X1, X2, Tw) float32 one-hot arrays with
+    ``Py[y1,y2,ry]*Px[x1,x2,rx]`` selecting table entry (ry, rx).
+    """
+    ws = window_size
+    aws = [w // anchor_window_down_factor for w in window_size]
+    if window_to_anchor:
+        (h1, w1), (h2, w2) = ws, aws
+        off = [w - 1 for w in aws]
+    else:
+        (h1, w1), (h2, w2) = aws, ws
+        off = [w - 1 for w in ws]
+    th = ws[0] + aws[0] - 1
+    tw = ws[1] + aws[1] - 1
+
+    ry = np.arange(h1)[:, None] - np.arange(h2)[None, :] + off[0]
+    rx = np.arange(w1)[:, None] - np.arange(w2)[None, :] + off[1]
+    py = np.zeros((h1, h2, th), np.float32)
+    px = np.zeros((w1, w2, tw), np.float32)
+    np.put_along_axis(py, ry[..., None], 1.0, axis=-1)
+    np.put_along_axis(px, rx[..., None], 1.0, axis=-1)
+    return py, px
+
+
 def get_relative_position_index_centered(
     window_size: Size2,
     anchor_window_down_factor: int = 1,
@@ -253,6 +292,21 @@ class GeometryConfig:
         return max(self.window_size[0], self.window_size[1], max_ss, max_sg)
 
 
+def bias_factor_entries(w: Size2, ss: Size2, sv: Size2, df: int) -> dict:
+    """Per-geometry one-hot bias factors (see get_bias_factors), flat keys."""
+    out = {}
+    for py, px, key in [
+        (*get_bias_factors(w), "bfac_w"),
+        (*get_bias_factors(ss, df, False), "bfac_sh_a2w"),
+        (*get_bias_factors(ss, df, True), "bfac_sh_w2a"),
+        (*get_bias_factors(sv, df, False), "bfac_sv_a2w"),
+        (*get_bias_factors(sv, df, True), "bfac_sv_w2a"),
+    ]:
+        out[f"{key}_y"] = py
+        out[f"{key}_x"] = px
+    return out
+
+
 def build_geometry_compact(cfg: GeometryConfig, x_size: Size2) -> dict:
     """Tables, indices and *factorized* shift masks for one padded resolution.
 
@@ -285,6 +339,7 @@ def build_geometry_compact(cfg: GeometryConfig, x_size: Size2) -> dict:
         "index_sh_w2a": get_relative_position_index(ss, df, True),
         "index_sv_a2w": get_relative_position_index(sv, df, False),
         "index_sv_w2a": get_relative_position_index(sv, df, True),
+        **bias_factor_entries(w, ss, sv, df),
         "bands_w": bands(x_size, w, shift),
         "bands_sh": bands(x_size, ss, sss),
         "bands_sh_a": bands(a_res, tuple(s // df for s in ss),
@@ -327,6 +382,7 @@ def build_geometry(cfg: GeometryConfig, x_size: Size2) -> dict:
         "index_sh_w2a": get_relative_position_index(ss, df, True),
         "index_sv_a2w": get_relative_position_index(sv, df, False),
         "index_sv_w2a": get_relative_position_index(sv, df, True),
+        **bias_factor_entries(w, ss, sv, df),
         "mask_w": calculate_mask(x_size, w, shift),
         "mask_sh_a2w": calculate_mask_all(x_size, ss, sss, df, False),
         "mask_sh_w2a": calculate_mask_all(x_size, ss, sss, df, True),

@@ -247,3 +247,47 @@ def test_compiled_program_stays_small_with_big_windows():
     # the GRL-base eval geometry); with band factorization only the
     # window-geometry index constants remain (~13MB text here)
     assert len(text) < 20_000_000, f"lowered program is {len(text)/1e6:.1f} MB"
+
+
+def test_bias_factors_reconstruct_index():
+    """One-hot factors (Py, Px) must reproduce the flat relative-position
+    index exactly: index = argmax(Py)*Tw + argmax(Px) (the separability that
+    lets the CPB bias be built by two matmuls instead of an N1*N2 gather)."""
+    from grlir.ops.geometry import get_bias_factors, get_relative_position_index
+
+    for ws, df, w2a in [((8, 8), 1, True), ((8, 8), 4, True),
+                        ((8, 8), 4, False), ((32, 32), 2, False),
+                        ((4, 96), 4, False), ((13, 7), 1, True)]:
+        idx = get_relative_position_index(ws, df, w2a)
+        py, px = get_bias_factors(ws, df, w2a)
+        assert (py.sum(-1) == 1).all() and (px.sum(-1) == 1).all()
+        tw = px.shape[-1]
+        ry, rx = py.argmax(-1), px.argmax(-1)
+        flat = (ry[:, None, :, None] * tw + rx[None, :, None, :]).reshape(
+            idx.shape)
+        np.testing.assert_array_equal(flat, idx)
+
+
+def test_affine_transform_factored_bias_matches_gather():
+    """AffineTransform.bias via one-hot matmuls == via gather (exact fp32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from grlir.models.blocks import AffineTransform
+    from grlir.ops.geometry import (get_bias_factors, get_relative_coords_table,
+                                    get_relative_position_index)
+
+    for ws, df, w2a, heads in [((8, 8), 1, True, 2), ((16, 16), 2, False, 3),
+                               ((4, 24), 4, True, 2)]:
+        table = jnp.asarray(get_relative_coords_table(ws, (0, 0), df))
+        index = jnp.asarray(get_relative_position_index(ws, df, w2a))
+        factors = tuple(jnp.asarray(f) for f in get_bias_factors(ws, df, w2a))
+
+        at = AffineTransform(heads)
+        attn = jnp.zeros((1, 1, heads, *index.shape))
+        params = at.init(jax.random.PRNGKey(0), attn, table, index, None)
+        gather = at.apply(params, table, index, method=AffineTransform.bias)
+        matmul = at.apply(params, table, index, factors,
+                          method=AffineTransform.bias)
+        assert gather.shape == matmul.shape == (heads, *index.shape)
+        np.testing.assert_array_equal(np.asarray(gather), np.asarray(matmul))

@@ -49,6 +49,8 @@ def main():
          "base": zoo.GRL_BASE}[name],
         dtype=os.environ.get("GRLIR_TRAIN_DTYPE", "bfloat16"),
     )
+    if os.environ.get("GRLIR_TRAIN_IO"):
+        cfg = replace(cfg, attn_io=os.environ["GRLIR_TRAIN_IO"])
     model = GRL(cfg)
     opt = optax.adam(2e-4)
     raw_step = make_train_step(model, opt, {"l1": 1.0}, jit_compile=False)

@@ -22,28 +22,45 @@ Modes:
 from __future__ import annotations
 
 import argparse
+import os
 import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DT_BYTES = {"bf16": 2, "f32": 4, "s32": 4, "pred": 1, "u32": 4, "s8": 1}
 
 
-def padded_bytes(dtype: str, dims) -> int:
-    """Array bytes under TPU tiling: minor dim pads to 128 lanes, second-minor
-    to the sublane count (16 for bf16, 8 for fp32)."""
+def padded_bytes(dtype: str, dims, minor_to_major=None) -> int:
+    """Array bytes under TPU tiling: the PHYSICAL minor dim pads to 128
+    lanes, the second-minor to the sublane count (16 for bf16, 8 for fp32).
+
+    ``minor_to_major`` is the HLO layout permutation (first entry = minor
+    dim).  Without it the trailing-two logical dims are assumed physical
+    minor — which overstates 6D window-partition intermediates by ~10x
+    (XLA lays those out channel-minor: {3,5,2,4,1,0}), so pass the parsed
+    layout whenever the HLO text carries one."""
     if not dims:
         return DT_BYTES.get(dtype, 4)
     d = list(dims)
     sub = 16 if dtype == "bf16" else 8
-    d[-1] = -(-d[-1] // 128) * 128
-    if len(d) >= 2:
-        d[-2] = -(-d[-2] // sub) * sub
+    if minor_to_major and len(minor_to_major) == len(d):
+        mi = minor_to_major[0]
+        d[mi] = -(-d[mi] // 128) * 128
+        if len(d) >= 2:
+            m2 = minor_to_major[1]
+            d[m2] = -(-d[m2] // sub) * sub
+    else:
+        d[-1] = -(-d[-1] // 128) * 128
+        if len(d) >= 2:
+            d[-2] = -(-d[-2] // sub) * sub
     n = 1
     for v in d:
         n *= v
     return n * DT_BYTES.get(dtype, 4)
 
 
-_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\](?:\{([\d,]+)[:}])?")
 _OP_RE = re.compile(r"^\s+(?:ROOT )?%?([\w.-]+) = (\S+.*?)\s+(\w+)\(")
 
 
@@ -59,9 +76,14 @@ def audit_text(hlo_text: str, entry_only: bool = True, top: int = 20):
         if not mm:
             continue
         _name, out_s, op = mm.groups()
+        if op == "bitcast":
+            continue  # layout reinterpret: no data movement
         b = sum(
-            padded_bytes(dt, [int(x) for x in dims.split(",") if x] if dims else [])
-            for dt, dims in _SHAPE_RE.findall(line) if dt in DT_BYTES
+            padded_bytes(
+                dt,
+                [int(x) for x in dims.split(",") if x] if dims else [],
+                [int(x) for x in mtm.split(",")] if mtm else None)
+            for dt, dims, mtm in _SHAPE_RE.findall(line) if dt in DT_BYTES
         )
         total += b
         k = by_kind.setdefault(op, [0, 0])
@@ -69,10 +91,12 @@ def audit_text(hlo_text: str, entry_only: bool = True, top: int = 20):
         k[1] += 1
         sh = _SHAPE_RE.findall(out_s)
         if sh:
-            dt, dims = sh[0]
+            dt, dims, mtm = sh[0]
             dims = tuple(int(x) for x in dims.split(",") if x)
             s = by_shape.setdefault((op, dt, dims), [0, 0])
-            s[0] += padded_bytes(dt, list(dims))
+            s[0] += padded_bytes(
+                dt, list(dims),
+                [int(x) for x in mtm.split(",")] if mtm else None)
             s[1] += 1
     kinds = sorted(by_kind.items(), key=lambda kv: -kv[1][0])
     shapes = sorted(by_shape.items(), key=lambda kv: -kv[1][0])[:top]

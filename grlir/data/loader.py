@@ -44,16 +44,21 @@ def _collate(samples: List[dict]) -> dict:
 _WORKER_DS = None
 
 
-def _worker_init(pickled_dataset, base_seed):
+def _worker_init(pickled_dataset, base_seed, counter):
     global _WORKER_DS
-    import os
     import pickle
 
     _WORKER_DS = pickle.loads(pickled_dataset)
     # de-correlate stochastic pipelines across workers (each process got an
-    # identical pickled rng state); pid-keyed like torch's worker seeding
+    # identical pickled rng state).  torch-style deterministic seeding:
+    # base_seed + worker_id — pid-keyed seeds made runs irreproducible and
+    # could collide across hosts (pids are per-host namespaces); base_seed
+    # already encodes the host rank upstream.
+    with counter.get_lock():
+        worker_id = counter.value
+        counter.value += 1
     if hasattr(_WORKER_DS, "seed"):
-        _WORKER_DS.seed((base_seed + os.getpid()) % (2**31))
+        _WORKER_DS.seed((base_seed + worker_id) % (2**31))
 
 
 def _worker_fetch(idxs):
@@ -102,10 +107,11 @@ class DataLoader:
             import pickle
 
             ctx = mp.get_context("spawn")
+            counter = ctx.Value("i", 0)
             self._pool = ctx.Pool(
                 self.num_workers,
                 initializer=_worker_init,
-                initargs=(pickle.dumps(self.dataset), self.seed),
+                initargs=(pickle.dumps(self.dataset), self.seed, counter),
             )
         return self._pool
 

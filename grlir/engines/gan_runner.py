@@ -61,6 +61,12 @@ def run_gan(cfg: dict, out_dir: str):
           f"D={param_count(disc_vars['params'])/1e6:.2f}M")
 
     eng = cfg.get("engine", {})
+    # reference keeps the handoff keys at the config top level
+    # (config/experiment/bsr/grl.yaml:16-17, read via hparams);
+    # accept both locations
+    for k in ("bsr_psnr_checkpoint", "bsr_discriminator_checkpoint"):
+        if not eng.get(k) and cfg.get(k):
+            eng[k] = cfg[k]
     if eng.get("bsr_psnr_checkpoint"):
         ckpt_path = osp.expanduser(eng["bsr_psnr_checkpoint"])
         if osp.isdir(ckpt_path):  # grlir orbax stage-1 output

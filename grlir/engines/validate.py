@@ -141,7 +141,10 @@ def _save_images(save_dir, task, filenames, lq, restored, target):
         os.makedirs(osp.join(save_dir, sub), exist_ok=True)
     for i, name in enumerate(filenames):
         base = osp.splitext(osp.basename(name))[0] + ".png"
-        for sub, img in (("LQ", lq[i]), ("HQ", restored[i]), ("GT", target[i])):
+        subs = [("LQ", lq[i]), ("HQ", restored[i])]
+        if target is not None:  # GT-free val has nothing to dump
+            subs.append(("GT", target[i]))
+        for sub, img in subs:
             arr = to_uint8(img)
             if arr.shape[-1] == 3:
                 arr = cv2.cvtColor(arr, cv2.COLOR_RGB2BGR)

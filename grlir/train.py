@@ -145,7 +145,9 @@ def main(argv=None):
     prog_patches = list(cfg.get("patch_sizes") or [])
 
     # reference applies MixUp only after epoch 5 (engines/base.py:168);
-    # translate to steps via the virtual-epoch length
+    # translate to steps via the virtual-epoch length.  batch_size is
+    # PER-DEVICE (reference: per-GPU batch x num_gpus, config/defaults.yaml),
+    # so the global batch really is batch_size * mesh size.
     global_batch = int(cfg["batch_size"]) * mesh.devices.size
     steps_per_epoch = max(1, len(dm.train_dataset) // max(1, global_batch))
     mixup_start = 5 * steps_per_epoch if cfg.get("mixup", False) else 0
@@ -234,7 +236,11 @@ def main(argv=None):
     max_steps = int(cfg["trainer"]["max_steps"])
     log_every = int(cfg["trainer"].get("log_every_n_steps", 50))
     val_every = int(cfg["trainer"].get("val_check_interval", 5000))
-    loader = dm.train_loader(cfg["batch_size"],
+    # per-device batch semantics: the host loads batch_size samples for
+    # EACH mesh device and shard_batch lays them over the data axis
+    # (single-controller; multi-host assembles shards per process instead,
+    # see tests/multihost_worker.py)
+    loader = dm.train_loader(int(cfg["batch_size"]) * mesh.devices.size,
                              num_workers=cfg.get("num_workers", 2))
     stream = loader.infinite()
     key = jax.random.PRNGKey(seed)
@@ -259,12 +265,12 @@ def main(argv=None):
                       f"batch={prog_batches[stage] if stage < len(prog_batches) else '-'} "
                       f"patch={crop}")
             if stage < len(prog_batches):
-                bs = min(prog_batches[stage], cfg["batch_size"])
-                # the sliced batch must still tile the data mesh axis
-                # (reference semantics are per-GPU batch sizes,
-                # engines/base.py:145-165)
-                n_dev = mesh.devices.size
-                bs = max(n_dev, (bs // n_dev) * n_dev)
+                # progressive batch sizes are per-GPU in the reference
+                # (engines/base.py:145-165): slice to per_dev * mesh size so
+                # the sliced batch still tiles the data axis exactly
+                per_dev = max(1, min(prog_batches[stage],
+                                     int(cfg["batch_size"])))
+                bs = per_dev * mesh.devices.size
                 batch = {k: v[:bs] for k, v in batch.items()}
         batch = shard_batch(batch, mesh)
         key, sub = jax.random.split(key)

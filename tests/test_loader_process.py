@@ -112,3 +112,18 @@ def test_infinite_stream_process_mode():
         assert all(b["img"].shape == (2, 2, 2, 3) for b in seen)
     finally:
         dl.close()
+
+
+def test_process_worker_seeding_reproducible():
+    """Worker seeds are worker-id-keyed (torch semantics), not pid-keyed:
+    two runs with the same base seed must produce the same multiset of
+    random streams."""
+    def collect():
+        dl = DataLoader(RngDataset(8), batch_size=1, num_workers=2,
+                        prefetch=8, worker_mode="process", seed=123)
+        try:
+            return sorted(tuple(np.round(b["v"][0], 6)) for b in dl)
+        finally:
+            dl.close()
+
+    assert collect() == collect()

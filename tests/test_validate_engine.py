@@ -75,3 +75,18 @@ def test_preprocess_val_dual_pixel():
              "img_gt": rng.random((1, 8, 8, 3)).astype(np.float32)}
     lq, gt = preprocess_val_batch(batch, "paired_dual")
     assert lq.shape == (1, 8, 8, 6)
+
+
+def test_validate_gt_free_with_save_images(tmp_path):
+    """GT-free val + save_images must dump LQ/HQ and skip GT (no None
+    subscript; regression for the engines/validate.py:_save_images crash)."""
+    rng = np.random.default_rng(0)
+    lq = rng.random((1, 32, 32, 3)).astype(np.float32)
+    batch = {"img_lq": lq, "img_gt": np.zeros((1,), np.float32),
+             "indices": np.array([0]), "filenames": ["gtfree.png"]}
+    res = validate(_identity_restorer(), FakeLoader([batch]), (),
+                   task="bsr", save_dir=str(tmp_path / "imgs"))
+    assert res == {} or all(np.isfinite(v) for v in res.values())
+    assert osp.exists(tmp_path / "imgs" / "HQ" / "gtfree.png")
+    assert osp.exists(tmp_path / "imgs" / "LQ" / "gtfree.png")
+    assert not osp.exists(tmp_path / "imgs" / "GT" / "gtfree.png")

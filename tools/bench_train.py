@@ -49,8 +49,9 @@ def main():
          "base": zoo.GRL_BASE}[name],
         dtype=os.environ.get("GRLIR_TRAIN_DTYPE", "bfloat16"),
     )
-    if os.environ.get("GRLIR_TRAIN_IO"):
-        cfg = replace(cfg, attn_io=os.environ["GRLIR_TRAIN_IO"])
+    # default to the TRAINING io (grlir.train pins legacy: its backward is
+    # ~7% faster than cm; serving uses cm)
+    cfg = replace(cfg, attn_io=os.environ.get("GRLIR_TRAIN_IO", "legacy"))
     model = GRL(cfg)
     opt = optax.adam(2e-4)
     raw_step = make_train_step(model, opt, {"l1": 1.0}, jit_compile=False)

@@ -61,7 +61,14 @@ def _worker_init(pickled_dataset, base_seed, counter):
         _WORKER_DS.seed((base_seed + worker_id) % (2**31))
 
 
-def _worker_fetch(idxs):
+def _worker_fetch(idxs, batch_seed=None):
+    # per-BATCH reseeding: which worker serves which batch is scheduler-
+    # dependent, so worker-keyed rng alone cannot make runs reproducible.
+    # Seeding by batch serial makes the stream deterministic regardless of
+    # scheduling AND of num_workers (stronger than torch's per-worker
+    # semantics, which change results with the worker count).
+    if batch_seed is not None and hasattr(_WORKER_DS, "seed"):
+        _WORKER_DS.seed(batch_seed)
     return _collate([_WORKER_DS[i] for i in idxs])
 
 
@@ -99,6 +106,7 @@ class DataLoader:
         self.shard = shard
         self.worker_mode = worker_mode
         self._epoch = 0
+        self._batch_serial = 0  # per-batch reseed counter (process mode)
         self._pool = None
 
     def _process_pool(self):
@@ -199,7 +207,9 @@ class DataLoader:
         def submit_next():
             idxs = next(it, None)
             if idxs is not None:
-                inflight.put(pool.apply_async(_worker_fetch, (idxs,)))
+                bs = (self.seed + 7919 * self._batch_serial) % (2**31)
+                self._batch_serial += 1
+                inflight.put(pool.apply_async(_worker_fetch, (idxs, bs)))
 
         for _ in range(depth):
             submit_next()

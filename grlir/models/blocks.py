@@ -883,11 +883,14 @@ class MixedAttention(nn.Module):
                                 name="qkv")(x)
             qkv_window, qkv_stripe = jnp.split(qkv, 2, axis=-1)
 
-        # use_pallas: False | True (both halves) | "window" (window half
-        # only — the stripe kernel is not competitive at XLA-stripe shapes)
+        # use_pallas: False | True (both halves) | "window" | "stripe"
+        # (one half only — per-half engine choice: the whole-window v2
+        # kernel loses at small windows while the flash stripe path is at
+        # parity at large geometries, so mixed modes are useful)
         x_window = WindowAttention(
             self.window_size, self.num_heads_w, self.window_shift,
-            self.euclidean_dist, bool(self.use_pallas), self.d_major,
+            self.euclidean_dist, self.use_pallas in (True, "window"),
+            self.d_major,
             dtype=self.dtype, name="window_attn",
         )(qkv_window, tim["table_w"], tim["index_w"], tim["mask_w"],
           tim.get("bands_w"), w_win, b_win, tim.get("fac_w"))
@@ -907,7 +910,8 @@ class MixedAttention(nn.Module):
             x_stripe = AnchorStripeAttention(
                 self.stripe_size_cfg, self.stripe_groups_cfg, self.stripe_shift,
                 self.num_heads_s, self.anchor_window_down_factor,
-                self.euclidean_dist, self.use_pallas is True, self.d_major,
+                self.euclidean_dist, self.use_pallas in (True, "stripe"),
+                self.d_major,
                 dtype=self.dtype, name="stripe_attn",
             )(qkv_stripe, anchor, tim["table_s"], tim["index_a2w"],
               tim["index_w2a"], tim["mask_a2w"], tim["mask_w2a"],

@@ -49,7 +49,8 @@ def main():
         cfg = replace(cfg, attn_io=os.environ["GRLIR_TILE_IO"])
     pl = os.environ.get("GRLIR_TILE_PALLAS", "")
     if pl:
-        cfg = replace(cfg, use_pallas_attention=pl if pl == "window" else True)
+        cfg = replace(
+            cfg, use_pallas_attention=pl if pl in ("window", "stripe") else True)
 
     model = GRL(cfg)
     rng = np.random.default_rng(0)

@@ -97,7 +97,8 @@ def test_flash_logit_scale_clamped():
     np.testing.assert_allclose(a, b, atol=1e-6)
 
 
-def test_model_level_flash_routing(monkeypatch):
+@pytest.mark.parametrize("mode", [True, "window", "stripe"])
+def test_model_level_flash_routing(monkeypatch, mode):
     """Whole GRL forward through the flash route must match the XLA path.
 
     The golden geometries are small (N <= 64 tokens), so the production
@@ -125,5 +126,5 @@ def test_model_level_flash_routing(monkeypatch):
     params = model.init(jax.random.PRNGKey(0), x)
     want = np.asarray(model.apply(params, x))
     got = np.asarray(
-        GRL(replace(cfg, use_pallas_attention=True)).apply(params, x))
+        GRL(replace(cfg, use_pallas_attention=mode)).apply(params, x))
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)

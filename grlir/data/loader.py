@@ -52,8 +52,8 @@ def _worker_init(pickled_dataset, base_seed, counter):
     # de-correlate stochastic pipelines across workers (each process got an
     # identical pickled rng state).  torch-style deterministic seeding:
     # base_seed + worker_id — pid-keyed seeds made runs irreproducible and
-    # could collide across hosts (pids are per-host namespaces); base_seed
-    # already encodes the host rank upstream.
+    # could collide across hosts (pids are per-host namespaces); base_seed is
+    # the loader's _pipeline_seed, which mixes in the host rank.
     with counter.get_lock():
         worker_id = counter.value
         counter.value += 1
@@ -108,6 +108,13 @@ class DataLoader:
         self._epoch = 0
         self._batch_serial = 0  # per-batch reseed counter (process mode)
         self._pool = None
+        # Stochastic-pipeline seed, de-correlated across hosts: the SHUFFLE
+        # seed must stay identical on every host (rank-stride sharding of one
+        # shared order), but degradation/ISP parameter streams must NOT —
+        # otherwise every host replays the same random-parameter sequence on
+        # its shard (round-2 advisor finding).  100003 is prime and far from
+        # the 7919 batch-serial stride.
+        self._pipeline_seed = (seed + 100003 * shard[0]) % (2**31)
 
     def _process_pool(self):
         if self._pool is None:
@@ -119,7 +126,8 @@ class DataLoader:
             self._pool = ctx.Pool(
                 self.num_workers,
                 initializer=_worker_init,
-                initargs=(pickle.dumps(self.dataset), self.seed, counter),
+                initargs=(pickle.dumps(self.dataset), self._pipeline_seed,
+                          counter),
             )
         return self._pool
 
@@ -166,6 +174,12 @@ class DataLoader:
             yield from self._iter_process()
             return
         batches = self._index_batches()
+        # thread mode shares ONE in-process dataset rng; on multi-host runs
+        # reseed it per (host, epoch) so degradation parameter streams differ
+        # across hosts (process mode handles this via _pipeline_seed instead)
+        if self.shard[1] > 1 and hasattr(self.dataset, "seed"):
+            self.dataset.seed((self._pipeline_seed + 104729 * self._epoch)
+                              % (2**31))
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
         END = object()
@@ -207,7 +221,7 @@ class DataLoader:
         def submit_next():
             idxs = next(it, None)
             if idxs is not None:
-                bs = (self.seed + 7919 * self._batch_serial) % (2**31)
+                bs = (self._pipeline_seed + 7919 * self._batch_serial) % (2**31)
                 self._batch_serial += 1
                 inflight.put(pool.apply_async(_worker_fetch, (idxs, bs)))
 

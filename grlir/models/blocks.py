@@ -136,13 +136,29 @@ def layer_norm(x, *, name: str):
 #     2.88 MP/s GRL-S 256²) — the erf lowering is transcendental-heavy
 #     and duplicated across fusions.
 # Overrides: GRLIR_GELU_TANH=1 forces tanh everywhere,
-#            GRLIR_GELU_EXACT=1 forces exact erf everywhere.
-_GELU_TANH = os.environ.get("GRLIR_GELU_TANH", "0") == "1"
-_GELU_EXACT = os.environ.get("GRLIR_GELU_EXACT", "0") == "1"
+#            GRLIR_GELU_EXACT=1 forces exact erf everywhere,
+#            or call set_gelu_mode("tanh"|"exact"|"auto") from code.
+# Read at TRACE time (gelu runs only while tracing), so parity runs can
+# flip the mode after import — a round-2 advisor finding.
+_GELU_MODE = None  # None = defer to env / dtype default
+
+
+def set_gelu_mode(mode):
+    """mode: 'tanh' | 'exact' | 'auto' (dtype-based default)."""
+    global _GELU_MODE
+    assert mode in ("tanh", "exact", "auto"), mode
+    _GELU_MODE = None if mode == "auto" else mode
 
 
 def gelu(x):
-    approx = _GELU_TANH or (x.dtype == jnp.bfloat16 and not _GELU_EXACT)
+    mode = _GELU_MODE
+    if mode is None:
+        if os.environ.get("GRLIR_GELU_TANH", "0") == "1":
+            mode = "tanh"
+        elif os.environ.get("GRLIR_GELU_EXACT", "0") == "1":
+            mode = "exact"
+    approx = (mode == "tanh"
+              or (mode is None and x.dtype == jnp.bfloat16))
     return jax.nn.gelu(x, approximate=approx)
 
 
@@ -596,7 +612,8 @@ class AnchorStripeAttention(nn.Module):
 
         if (self.use_pallas and not self.euclidean_dist
                 and max(N1, N2) > _FLASH_MIN_TOKENS
-                and (not self.stripe_shift or bands is not None)):
+                and (not self.stripe_shift
+                     or (bands is not None and bands_a is not None))):
             # large-geometry route: per-tile fused attention, matrices never
             # reach HBM (ops/pallas/flash_attention.py)
             from grlir.ops.pallas.flash_attention import flash_rect_attention
@@ -871,6 +888,7 @@ class MixedAttention(nn.Module):
     use_pallas: bool = False
     d_major: bool = False
     attn_io: str = "legacy"  # "legacy" | "cm" boundary-fused (linear qkv only)
+    out_proj_type: str = "linear"  # "linear" | "conv2d" (3x3; ablation-only)
     dtype: object = None
 
     @nn.compact
@@ -942,6 +960,11 @@ class MixedAttention(nn.Module):
             )(qkv_stripe, tim["table_s"], tim["index_w2a"], tim["mask_w2a"])
 
         x = jnp.concatenate([x_window, x_stripe], axis=-1)
+        # out_proj_type=conv2d (mixed_attn_block.py:892-895,923-928): a 3x3
+        # conv output projection — dead in the reference's shipped configs
+        # (only the unreferenced ablation GRL could set it), kept for parity
+        if self.out_proj_type == "conv2d":
+            return conv2d(x, self.dim, name="proj", dtype=self.dtype)
         return dense(x, self.dim, name="proj", dtype=self.dtype)
 
 
@@ -974,6 +997,7 @@ class EfficientMixAttnTransformerBlock(nn.Module):
     use_pallas: bool = False
     d_major: bool = False
     attn_io: str = "legacy"
+    out_proj_type: str = "linear"
     # static attribute (not a call arg) so nn.remat needs no static_argnums
     deterministic: bool = True
     dtype: object = None
@@ -1021,7 +1045,8 @@ class EfficientMixAttnTransformerBlock(nn.Module):
             self.qkv_proj_type, self.anchor_proj_type, self.anchor_one_stage,
             self.anchor_window_down_factor, self.separable_conv_act,
             self.euclidean_dist, self.double_window, self.stripe_square,
-            self.use_pallas, self.d_major, self.attn_io, dtype=self.dtype,
+            self.use_pallas, self.d_major, self.attn_io,
+            out_proj_type=self.out_proj_type, dtype=self.dtype,
             name="attn",
         )
 

@@ -56,6 +56,9 @@ class GRLConfig:
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     qkv_proj_type: str = "linear"
+    # "linear" | "conv2d": ablation-only 3x3-conv output projection
+    # (mixed_attn_block.py:892-895; no shipped reference config sets it)
+    out_proj_type: str = "linear"
     anchor_proj_type: str = "avgpool"
     anchor_one_stage: bool = True
     anchor_window_down_factor: int = 1
@@ -67,6 +70,10 @@ class GRLConfig:
     euclidean_dist: bool = False
     double_window: bool = False
     stripe_square: bool = False
+    # log-CPB table normalization anchors (grl.py:52-53 — the reference marks
+    # these "actually not used" and never sets them; plumbed for parity)
+    pretrained_window_size: Tuple[int, int] = (0, 0)
+    pretrained_stripe_size: Tuple[int, int] = (0, 0)
     # fused Pallas attention kernels (forward/inference path; TPU only):
     # False | True (both halves) | "window" (window half only; the stripe
     # kernel loses to XLA at stripe shapes — see ops/pallas/attention.py)
@@ -113,6 +120,8 @@ class GRLConfig:
             stripe_size=tuple(self.stripe_size),
             stripe_groups=tuple(self.stripe_groups),
             anchor_window_down_factor=self.anchor_window_down_factor,
+            pretrained_window_size=tuple(self.pretrained_window_size),
+            pretrained_stripe_size=tuple(self.pretrained_stripe_size),
         )
 
     @property
@@ -226,6 +235,7 @@ class TransformerStage(nn.Module):
                 use_pallas=cfg.use_pallas_attention,
                 d_major=cfg.attn_layout == "dn",
                 attn_io=cfg.attn_io,
+                out_proj_type=cfg.out_proj_type,
                 deterministic=deterministic,
                 dtype=cfg.compute_dtype,
                 name=f"blocks_{i}",

@@ -131,6 +131,9 @@ def flash_rect_attention(
                      memory_space=pltpu.VMEM),
     ]
     args = [qf, kf, vf, scale, bias]
+    # bands must come as a pair: keying on bands_q alone would silently drop
+    # the shift mask for (None, bands_k) and crash on (bands_q, None)
+    assert (bands_q is None) == (bands_k is None), (bands_q, bands_k)
     has_bands = bands_q is not None
     if has_bands:
         # 3D (W, 1, N) so the trailing-two block dims satisfy Mosaic's

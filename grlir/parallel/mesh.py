@@ -37,8 +37,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
-    """Place a host batch dict onto the mesh, sharded over the batch axis."""
+    """Place a host batch dict onto the mesh, sharded over the batch axis.
+
+    Single-controller: plain device_put with the global batch.  Multi-host:
+    each host passes its PROCESS-LOCAL shard (batch_size x local devices) and
+    the global array is assembled without replicating host data — the
+    DistributedSampler+DDP input contract (tools/trainer.py:135-148)."""
     sh = batch_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 

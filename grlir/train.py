@@ -150,7 +150,9 @@ def main(argv=None):
     # so the global batch really is batch_size * mesh size.
     global_batch = int(cfg["batch_size"]) * mesh.devices.size
     steps_per_epoch = max(1, len(dm.train_dataset) // max(1, global_batch))
-    mixup_start = 5 * steps_per_epoch if cfg.get("mixup", False) else 0
+    # "current_epoch > 5" with 0-based epochs => first active epoch is 6,
+    # i.e. after SIX full virtual epochs (round-2 advisor off-by-one)
+    mixup_start = 6 * steps_per_epoch if cfg.get("mixup", False) else 0
 
     def build_step(crop_patch=None):
         pre = make_train_preprocess(
@@ -236,12 +238,15 @@ def main(argv=None):
     max_steps = int(cfg["trainer"]["max_steps"])
     log_every = int(cfg["trainer"].get("log_every_n_steps", 50))
     val_every = int(cfg["trainer"].get("val_check_interval", 5000))
-    # per-device batch semantics: the host loads batch_size samples for
-    # EACH mesh device and shard_batch lays them over the data axis
-    # (single-controller; multi-host assembles shards per process instead,
-    # see tests/multihost_worker.py)
-    loader = dm.train_loader(int(cfg["batch_size"]) * mesh.devices.size,
-                             num_workers=cfg.get("num_workers", 2))
+    # per-device batch semantics: batch_size is PER-DEVICE, so each host
+    # loads batch_size x (its share of mesh devices) and shard_batch lays
+    # the result over the data axis (multi-host: process-local shards are
+    # assembled into the global array, never replicated)
+    assert mesh.devices.size % jax.process_count() == 0, (
+        mesh.devices.size, jax.process_count())
+    per_host = int(cfg["batch_size"]) * (mesh.devices.size
+                                         // jax.process_count())
+    loader = dm.train_loader(per_host, num_workers=cfg.get("num_workers", 2))
     stream = loader.infinite()
     key = jax.random.PRNGKey(seed)
     t0 = time.time()

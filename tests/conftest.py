@@ -27,3 +27,20 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _seed_torch_rng():
+    """Pin torch's global RNG per test.
+
+    Oracle tests construct live torch reference modules whose *random init*
+    feeds golden/conversion comparisons; without this, weight draws (and e.g.
+    spectral-norm power-iteration convergence) depend on which tests ran
+    before — the round-2 order-dependent flake in test_gan.py.  Only seeds if
+    torch is already imported so torch-free tests don't pay the import."""
+    import sys
+
+    torch = sys.modules.get("torch")
+    if torch is not None:
+        torch.manual_seed(0)
+    yield

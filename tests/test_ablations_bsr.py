@@ -47,6 +47,30 @@ def test_stripe_square_ablation():
     assert np.isfinite(y).all()
 
 
+def test_out_proj_conv2d_ablation():
+    """mixed_attn_block.py:892-895: 3x3-conv output projection (ablation-only)."""
+    cfg = GRLConfig(**BASE, anchor_window_down_factor=2,
+                    out_proj_type="conv2d")
+    y, params = _run(cfg)
+    assert np.isfinite(y).all()
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    kshapes = {"/".join(str(k.key) for k in p): v.shape for p, v in flat}
+    projs = [s for n, s in kshapes.items() if n.endswith("attn/proj/kernel")]
+    assert projs and all(s == (3, 3, 32, 32) for s in projs), projs
+
+
+def test_pretrained_window_size_plumbed():
+    """grl.py:52-53,90-91: pretrained sizes reach the CPB coords tables."""
+    cfg = GRLConfig(**BASE, anchor_window_down_factor=2,
+                    pretrained_window_size=(16, 16),
+                    pretrained_stripe_size=(16, 16))
+    g = cfg.geometry((32, 32))
+    g0 = GRLConfig(**BASE, anchor_window_down_factor=2).geometry((32, 32))
+    assert not np.allclose(g["table_w"], g0["table_w"])
+    y, _ = _run(cfg)
+    assert np.isfinite(y).all()
+
+
 def test_euclidean_dist_ablation():
     kw = {**BASE, "stripe_size": (8, None), "stripe_groups": (None, 4)}
     cfg = GRLConfig(**kw, anchor_window_down_factor=4, euclidean_dist=True)

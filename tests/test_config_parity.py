@@ -157,3 +157,53 @@ def test_loss_groups_compose():
         cfg = load_config([f"loss={group}"])
         assert set(cfg["loss"]) == keys, group
         assert cfg["classification"] is True, group
+
+
+def test_lr_scheduler_groups_cover_reference():
+    """All 5 reference lr_scheduler groups exist, compose, resolve to a
+    registered schedule, and pin the reference group's numeric fields
+    (config/lr_scheduler/*.yaml).  multi_steplr group-level milestones are
+    deliberately step-based where the reference default is epoch-counts
+    ("80+120+140+150"); experiments override them and the experiment-level
+    parity is asserted in test_experiment_parity."""
+    from grlir.optim.schedules import SCHEDULES
+
+    # grlir group -> (reference file, fields that must match verbatim)
+    cases = {
+        "steplr": ("steplr.yaml", ["step_size", "gamma"]),
+        "multi_steplr": ("multi_steplr.yaml",
+                         ["gamma", "warmup_iter", "warmup_init_lr"]),
+        "cosine_restart": ("cosine_annealing_restart_cyclic.yaml",
+                           ["periods", "restart_weights", "eta_mins"]),
+        "cosinelr": ("cosinelr.yaml", ["lr_min", "warmup_lr_init", "warmup_t"]),
+        "warmup": ("warmup.yaml", ["eta_min", "multiplier"]),
+    }
+    ref_files = {c[0] for c in cases.values()}
+    import os
+    assert ref_files == set(os.listdir(osp.join(REF, "lr_scheduler")))
+    for group, (ref_file, fields) in cases.items():
+        cfg = load_config([f"lr_scheduler={group}",
+                           "trainer.max_steps=300000"])
+        sch = cfg["lr_scheduler"]
+        assert sch["name"] in SCHEDULES, group
+        with open(osp.join(REF, "lr_scheduler", ref_file)) as f:
+            ref = yaml.safe_load(f)["lr_scheduler"]
+        def _num(v):
+            # pyyaml parses bare "1e-5" as a string (YAML 1.1 exponent rule)
+            if isinstance(v, str):
+                try:
+                    return float(v)
+                except ValueError:
+                    return v
+            if isinstance(v, list):
+                return [_num(x) for x in v]
+            return v
+
+        for field in fields:
+            want = _num(ref[field])
+            have = sch.get(field, sch.get(
+                {"warmup_t": "warmup_steps"}.get(field, field)))
+            assert have == pytest.approx(want), (group, field, have, want)
+    # warmup group renames: num_epochs/warmup_epochs are steps here
+    cfg = load_config(["lr_scheduler=warmup", "trainer.max_steps=300000"])
+    assert cfg["lr_scheduler"]["warmup_steps"] == 20000

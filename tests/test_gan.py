@@ -116,6 +116,10 @@ def test_unet_discriminator_conversion_golden():
     oracle._install_stubs()
     from models.aux_archs.discriminator import UNetDiscriminatorSN as TorchD
 
+    # deterministic oracle weights: SN power-iteration convergence (and the
+    # atol below) depend on the init draw, so an unseeded torch RNG made this
+    # test order-dependent (round-2 flake)
+    torch.manual_seed(0)
     tm = TorchD(num_in_ch=3, num_feat=16, skip_connection=True)
     x = np.random.default_rng(0).random((2, 3, 32, 32)).astype(np.float32)
     # torch SN initializes u/v randomly: sigma is garbage until power iteration

@@ -45,7 +45,7 @@ def bench_jax(hw: int, bs: int, iters: int) -> float:
     pallas_env = os.environ.get("GRLIR_BENCH_PALLAS", "0")
     if pallas_env == "1":
         cfg = replace(cfg, use_pallas_attention=True)
-    elif pallas_env in ("window", "stripe"):
+    elif pallas_env in ("window", "stripe", "v3"):
         cfg = replace(cfg, use_pallas_attention=pallas_env)
     if os.environ.get("GRLIR_BENCH_LAYOUT"):
         cfg = replace(cfg, attn_layout=os.environ["GRLIR_BENCH_LAYOUT"])

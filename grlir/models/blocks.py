@@ -199,6 +199,15 @@ class CPBMlp(nn.Module):
         return dense(x, self.out_features, use_bias=False, name="fc2")
 
 
+# factored-bias contraction layout; see AffineTransform.bias
+_BIAS_PAIR_FLAT = False
+
+
+def set_bias_pair_flat(on: bool):
+    global _BIAS_PAIR_FLAT
+    _BIAS_PAIR_FLAT = bool(on)
+
+
 class AffineTransform(nn.Module):
     """Scale + continuous-position-bias + shift-mask on an attention map.
 
@@ -247,6 +256,23 @@ class AffineTransform(nn.Module):
             # (h, N1, N2) product halves (it is the largest bias tensor at
             # big stripe geometries)
             dt = out_dtype or jnp.float32
+            if _BIAS_PAIR_FLAT:
+                # pair-flattened form (VERDICT r2 #2): contract over
+                # (Y1*Y2, Th) x (Th, Tw, h) x (X1*X2, Tw) so the einsum
+                # output (h, Y1Y2, X1X2) keeps a wide unpadded minor dim,
+                # then pay ONE documented transpose into (h, N1, N2).  The
+                # direct 5D form's (h, Y1, X1, Y2, X2) output pads its
+                # (Y2, X2) minor tile 2-4x at big geometries.  Same
+                # one-term-per-output selection — bit-exact either way.
+                Y1, Y2, Th = py.shape
+                X1, X2, Tw = px.shape
+                out = jnp.einsum(
+                    "pt,tuh,qu->hpq",
+                    py.reshape(Y1 * Y2, Th).astype(dt), c.astype(dt),
+                    px.reshape(X1 * X2, Tw).astype(dt),
+                    preferred_element_type=dt)
+                out = out.reshape(h, Y1, Y2, X1, X2).transpose(0, 1, 3, 2, 4)
+                return out.reshape(h, Y1 * X1, Y2 * X2)
             out = jnp.einsum("abt,tuh,cdu->hacbd", py.astype(dt),
                              c.astype(dt), px.astype(dt),
                              preferred_element_type=dt)
@@ -472,12 +498,38 @@ class WindowAttention(nn.Module):
         shift = self.window_size[0] // 2 if self.window_shift else 0
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+        if self.use_pallas == "v3":
+            # v3 whole-half kernel: qkv + partition + attention + reverse all
+            # inside one pallas_call; x goes in NHWC, y comes out NHWC
+            # (ops/pallas/block_attn.py).  Only the roll stays outside.
+            # Geometries whose packed bias exceeds VMEM (GRL-base w32)
+            # fall through to the XLA cm path below.
+            from grlir.ops.pallas.block_attn import (fused_window_half,
+                                                     window_half_supported)
+
+            if window_half_supported((H, W), tuple(self.window_size), h):
+                if self.window_shift and bands is None:
+                    raise ValueError(
+                        "use_pallas='v3' window attention with window_shift "
+                        "requires band ids (geometry['bands_w'])")
+                transform = AffineTransform(h, name="attn_transform")
+                y = fused_window_half(
+                    x, wqkv, bqkv, transform.logit_scale,
+                    transform.bias(table, index, factors),
+                    tuple(self.window_size),
+                    bands=bands if self.window_shift else None)
+                if shift > 0:
+                    y = jnp.roll(y, (shift, shift), axis=(1, 2))
+                return y
+        # v3 geometries that failed the VMEM guard run plain XLA, not the
+        # v1/v2/flash engines (those lose at exactly the large-N geometries
+        # the guard rejects — PERF_ANALYSIS.md)
+        use_pallas = False if self.use_pallas == "v3" else self.use_pallas
         xw = window_partition_cm(x, self.window_size)  # (B, nW, C, N)
-        qkv = _qkv_cm(xw, wqkv, bqkv, self.dtype)      # (B, nW, 3Cw, N)
         transform = AffineTransform(h, name="attn_transform")
 
         N_tok = self.window_size[0] * self.window_size[1]
-        if self.use_pallas and not self.euclidean_dist:
+        if use_pallas and not self.euclidean_dist:
             if self.window_shift and bands is None:
                 raise ValueError(
                     "use_pallas window attention with window_shift requires "
@@ -485,30 +537,31 @@ class WindowAttention(nn.Module):
             if N_tok > _FLASH_MIN_TOKENS:
                 from grlir.ops.pallas.flash_attention import flash_rect_attention
 
-                Bq, nW, C3, N = qkv.shape
-                q, k, v = _split_qkv_cm(qkv, h)
+                q, k, v = _qkv_cm_heads(xw, wqkv, bqkv, self.dtype, h)
+                Bq, nW, _, d, N = q.shape
                 wb = bands if self.window_shift else None
                 y = flash_rect_attention(
                     q, k, v, transform.logit_scale,
                     transform.bias(table, index, factors,
                                    out_dtype=q.dtype),
                     bands_q=wb, bands_k=wb)
-                y = y.reshape(Bq, nW, C3 // 3, N)
+                y = y.reshape(Bq, nW, h * d, N)
             else:
                 from grlir.ops.pallas.attention import fused_window_attention_qkv
 
+                qkv = _qkv_cm(xw, wqkv, bqkv, self.dtype)  # (B, nW, 3Cw, N)
                 y = fused_window_attention_qkv(
                     qkv, transform.logit_scale,
                     transform.bias(table, index, factors),
                     h, bands if self.window_shift else None,
                     channel_major=True)
         else:
-            Bq, nW, C3, N = qkv.shape
-            q, k, v = _split_qkv_cm(qkv, h)
+            q, k, v = _qkv_cm_heads(xw, wqkv, bqkv, self.dtype, h)
+            Bq, nW, _, d, N = q.shape
             y = cosine_attention(q, k, v, transform, table, index,
                                  mask if self.window_shift else None,
                                  self.euclidean_dist, False, True, factors)
-            y = y.reshape(Bq, nW, C3 // 3, N)  # merge heads (free, channel-major)
+            y = y.reshape(Bq, nW, h * d, N)  # merge heads (free, channel-major)
         y = window_reverse_cm(y, self.window_size, (H, W))
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
@@ -597,20 +650,48 @@ class AnchorStripeAttention(nn.Module):
             anchor = jnp.roll(anchor, (-anchor_shift[0], -anchor_shift[1]),
                               axis=(1, 2))
 
+        if self.use_pallas == "v3":
+            # v3 whole-half kernel: qkv + partition + both attentions +
+            # reverse inside one pallas_call (ops/pallas/block_attn.py).
+            # Unsupported geometries fall through to the XLA cm path below.
+            from grlir.ops.pallas.block_attn import (fused_stripe_half,
+                                                     stripe_half_supported)
+
+            if stripe_half_supported((H, W), tuple(stripe_size),
+                                     self.anchor_window_down_factor, h):
+                if self.stripe_shift and (bands is None or bands_a is None):
+                    raise ValueError(
+                        "use_pallas='v3' stripe attention with stripe_shift "
+                        "requires band ids "
+                        "(geometry['bands_{s}'/'bands_{s}_a'])")
+                t1 = AffineTransform(h, name="attn_transform1")
+                t2 = AffineTransform(h, name="attn_transform2")
+                y = fused_stripe_half(
+                    x, anchor, wqkv, bqkv, t1.logit_scale, t2.logit_scale,
+                    t1.bias(table, index_a2w, fac_a2w),
+                    t2.bias(table, index_w2a, fac_w2a),
+                    tuple(stripe_size), self.anchor_window_down_factor,
+                    bands=bands if self.stripe_shift else None,
+                    bands_a=bands_a if self.stripe_shift else None)
+                if self.stripe_shift:
+                    y = jnp.roll(y, shift_size, axis=(1, 2))
+                return y
+
+        # see WindowAttention._forward_cm: v3 VMEM-guard fallback runs XLA
+        use_pallas = False if self.use_pallas == "v3" else self.use_pallas
         xw = window_partition_cm(x, stripe_size)        # (B, nW, C, N1)
-        qkv = _qkv_cm(xw, wqkv, bqkv, self.dtype)       # (B, nW, 3Cs, N1)
         anchor = window_partition_cm(anchor, anchor_stripe)  # (B, nW, Cs, N2)
 
-        Bq, nW, C3, N1 = qkv.shape
-        Cs = C3 // 3
-        q, k, v = _split_qkv_cm(qkv, h)
+        q, k, v = _qkv_cm_heads(xw, wqkv, bqkv, self.dtype, h)
+        Bq, nW, _, _, N1 = q.shape
+        Cs = wqkv.shape[1] // 3
         a = anchor.reshape(Bq, nW, h, Cs // h, -1)
         N2 = a.shape[-1]
 
         t1 = AffineTransform(h, name="attn_transform1")
         t2 = AffineTransform(h, name="attn_transform2")
 
-        if (self.use_pallas and not self.euclidean_dist
+        if (use_pallas and not self.euclidean_dist
                 and max(N1, N2) > _FLASH_MIN_TOKENS
                 and (not self.stripe_shift
                      or (bands is not None and bands_a is not None))):
@@ -633,10 +714,10 @@ class AnchorStripeAttention(nn.Module):
             m_a2w = mask_a2w if self.stripe_shift else None
             m_w2a = mask_w2a if self.stripe_shift else None
             y = cosine_attention(a, k, v, t1, table, index_a2w, m_a2w,
-                                 self.euclidean_dist, self.use_pallas, True,
+                                 self.euclidean_dist, use_pallas, True,
                                  fac_a2w)
             y = cosine_attention(q, a, y, t2, table, index_w2a, m_w2a,
-                                 self.euclidean_dist, self.use_pallas, True,
+                                 self.euclidean_dist, use_pallas, True,
                                  fac_w2a)
 
         y = y.reshape(Bq, nW, Cs, N1)  # merge heads (free, channel-major)
@@ -744,6 +825,37 @@ def _qkv_cm(xw, wqkv, bqkv, dtype):
     if bqkv is not None:
         out = out + bqkv.astype(dt)[None, None, :, None]
     return out
+
+
+# cm qkv projection form: "fused" computes one (B,nW,3C,N) tensor and
+# slices; "split" runs three per-tensor contractions so the BACKWARD never
+# materializes the 3C-wide grad concat (the copy the round-2 audit blamed
+# for cm training's +5.5 GB backward — VERDICT r2 #6).
+_QKV_CM_MODE = "fused"
+
+
+def set_qkv_cm_mode(mode):
+    assert mode in ("fused", "split"), mode
+    global _QKV_CM_MODE
+    _QKV_CM_MODE = mode
+
+
+def _qkv_cm_heads(xw, wqkv, bqkv, dtype, h):
+    """qkv projection + head split: (B, nW, C, N) -> 3 x (B, nW, h, d, N)."""
+    if _QKV_CM_MODE == "fused":
+        return _split_qkv_cm(_qkv_cm(xw, wqkv, bqkv, dtype), h)
+    B, nW, C, N = xw.shape
+    dt = dtype or xw.dtype
+    Ch = wqkv.shape[1] // 3
+    xc = xw.astype(dt)
+    outs = []
+    for i in range(3):
+        o = jnp.einsum("ck,bwcn->bwkn",
+                       wqkv[:, i * Ch:(i + 1) * Ch].astype(dt), xc)
+        if bqkv is not None:
+            o = o + bqkv[i * Ch:(i + 1) * Ch].astype(dt)[None, None, :, None]
+        outs.append(o.reshape(B, nW, h, Ch // h, N))
+    return tuple(outs)
 
 
 class QKVProjection(nn.Module):
@@ -896,10 +1008,17 @@ class MixedAttention(nn.Module):
         # x: (B, H, W, C); tim: per-block table/index/mask dict
         use_anchor = self.anchor_window_down_factor > 1
         # the boundary-fused path needs the raw projection weights; separable
-        # conv qkv and the ablation branches keep the legacy flow
-        fused_io = (self.attn_io == "cm" and self.qkv_proj_type == "linear"
+        # conv qkv and the ablation branches keep the legacy flow.  v3 rides
+        # the same raw-weight plumbing (the kernel does the qkv projection
+        # itself), so it implies cm io.
+        fused_io = ((self.attn_io == "cm" or self.use_pallas == "v3")
+                    and self.qkv_proj_type == "linear"
                     and not self.double_window and use_anchor
                     and not self.euclidean_dist)
+        # v3 degrades to the plain XLA cm path when its preconditions fail
+        use_pallas = self.use_pallas
+        if use_pallas == "v3" and not fused_io:
+            use_pallas = False
         if fused_io:
             C = x.shape[-1]
             wqkv, bqkv = _QKVParams(self.dim, C, self.qkv_bias, name="qkv")()
@@ -915,13 +1034,16 @@ class MixedAttention(nn.Module):
                                 name="qkv")(x)
             qkv_window, qkv_stripe = jnp.split(qkv, 2, axis=-1)
 
-        # use_pallas: False | True (both halves) | "window" | "stripe"
+        # use_pallas: False | True (both halves) | "window" | "stripe" | "v3"
         # (one half only — per-half engine choice: the whole-window v2
         # kernel loses at small windows while the flash stripe path is at
-        # parity at large geometries, so mixed modes are useful)
+        # parity at large geometries, so mixed modes are useful; "v3" runs
+        # the whole-block-half kernels on both halves)
+        up_win = "v3" if use_pallas == "v3" else use_pallas in (True, "window")
+        up_str = "v3" if use_pallas == "v3" else use_pallas in (True, "stripe")
         x_window = WindowAttention(
             self.window_size, self.num_heads_w, self.window_shift,
-            self.euclidean_dist, self.use_pallas in (True, "window"),
+            self.euclidean_dist, up_win,
             self.d_major,
             dtype=self.dtype, name="window_attn",
         )(qkv_window, tim["table_w"], tim["index_w"], tim["mask_w"],
@@ -942,7 +1064,7 @@ class MixedAttention(nn.Module):
             x_stripe = AnchorStripeAttention(
                 self.stripe_size_cfg, self.stripe_groups_cfg, self.stripe_shift,
                 self.num_heads_s, self.anchor_window_down_factor,
-                self.euclidean_dist, self.use_pallas in (True, "stripe"),
+                self.euclidean_dist, up_str,
                 self.d_major,
                 dtype=self.dtype, name="stripe_attn",
             )(qkv_stripe, anchor, tim["table_s"], tim["index_a2w"],

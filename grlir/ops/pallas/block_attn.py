@@ -1,0 +1,486 @@
+"""Pallas v3: whole-block-half fused attention (docs/PALLAS_V3_DESIGN.md).
+
+Round-2 evidence says per-op kernels lose at the custom-call boundary (v1/v2:
+1.37 vs 1.60 MP/s whole-model; mixed per-half engines lose too) — the kernel
+must subsume the boundaries.  These kernels ingest the block input x in plain
+NHWC straight from HBM and emit the attention-half output in NHWC: the
+BlockSpec index map IS the window partition, so the partition/reverse copies,
+the qkv HBM round-trip, and every attention operand disappear from the
+program — only x (read) and y (write) touch HBM.
+
+Key deviations from the original v3 sketch that make this Mosaic-clean:
+
+- Tokens stay in RASTER order end-to-end.  A grid block (wh, P*ww, C)
+  free-reshapes to (P*N, C) tokens (both merged dims are non-minor); the
+  window structure moves into the BIAS: the packed (h, P*N, P*N) constant is
+  permuted raster<->window OUTSIDE the kernel with two one-hot matmuls and
+  carries the -1e9 block-diagonal separation.  No in-kernel relayouts, no
+  window_reverse — the output block writes back raster.
+- qkv is computed transposed by contraction order (w (C,3Cw) x tokens
+  (PN, C) -> (3Cw, PN)), so head splits only touch sublane dims (Mosaic
+  cannot shape-cast the lane dim).
+- Shift masks use per-token band ids compared in-kernel (proven in the v2
+  kernel); the cyclic roll itself stays outside (one XLA copy per shifted
+  block — the "pre-roll once per block pair" option of the design).
+- The output projection deliberately stays OUTSIDE (XLA): proj needs the
+  concat of both halves, and XLA fuses the concat into the proj matmul, so
+  partial per-half projections would cost MORE traffic (2x dim-wide partials
+  vs 2 half-wide y tensors).
+
+Matmul operands are bf16 (fp32 accumulate via preferred_element_type) to
+match the XLA path's numerics and MXU rate; normalize/softmax run fp32.
+
+Reference hot loop being replaced:
+/root/reference/models/common/mixed_attn_block_efficient.py:128-270.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Size2 = Tuple[int, int]
+
+
+def _interpret_default():
+    # Mosaic compiles only on TPU; interpret elsewhere (CPU tests/meshes)
+    return jax.default_backend() != "tpu"
+
+
+def _auto_pack_w(W: int, window: Size2) -> int:
+    """Windows packed per attention: >=128 lanes for full MXU tiles, never
+    beyond the row of windows (same rule as the v2 packed kernel)."""
+    wh, ww = window
+    pack_w = max(1, min(W // ww, -(-128 // (wh * ww)) * 2))
+    while (W // ww) % pack_w:
+        pack_w -= 1
+    return pack_w
+
+
+# VMEM spent on the packed (h, PN, PN) fp32 bias constant; beyond this the
+# whole-half kernel can't hold its operands and the XLA path wins anyway
+# (large-N geometries like GRL-base w32 have matmul-bias XLA at parity).
+_BIAS_VMEM_BUDGET = 4 * 1024 * 1024
+
+
+def window_half_supported(x_size: Size2, window: Size2, num_heads: int) -> bool:
+    """Static guard: can fused_window_half hold this geometry in VMEM?"""
+    H, W = x_size
+    wh, ww = window
+    if H % wh or W % ww:
+        return False
+    PN = _auto_pack_w(W, window) * wh * ww
+    return num_heads * PN * PN * 4 <= _BIAS_VMEM_BUDGET
+
+
+def stripe_half_supported(x_size: Size2, stripe: Size2, df: int,
+                          num_heads: int) -> bool:
+    """Static guard for fused_stripe_half (biases are (h, N2, N1))."""
+    H, W = x_size
+    sh, sw = stripe
+    if H % sh or W % sw or sh % df or sw % df:
+        return False
+    N1 = sh * sw
+    N2 = (sh // df) * (sw // df)
+    return 2 * num_heads * N2 * N1 * 4 <= _BIAS_VMEM_BUDGET
+
+
+def pack_window_bias(bias, window: Size2, pack_w: int, out_dtype=jnp.float32):
+    """(h, N, N) per-window bias -> (h, P*N, P*N) packed bias in RASTER order.
+
+    The kernel's token n indexes the (wh, P*ww) block row-major:
+    n = r * (P*ww) + c, belonging to window c//ww, in-window token
+    r*ww + c%ww.  Built with one-hot matmuls (exact selection, no gather).
+    Off-diagonal (cross-window) entries get -1e9 so the packed softmax
+    factorizes into the per-window softmaxes exactly.
+    """
+    h, N, _ = bias.shape
+    wh, ww = window
+    P = pack_w
+    PN = P * N
+    n = np.arange(PN)
+    r, c = n // (P * ww), n % (P * ww)
+    win = c // ww
+    tok = r * ww + c % ww
+    sel = np.zeros((PN, N), np.float32)
+    sel[n, tok] = 1.0
+    selj = jnp.asarray(sel)
+    out = jnp.einsum("pn,hnm,qm->hpq", selj, bias.astype(jnp.float32), selj)
+    offdiag = jnp.asarray((win[:, None] != win[None, :]) * -1e9, jnp.float32)
+    return (out + offdiag[None]).astype(out_dtype)
+
+
+def raster_bands(bands, x_size: Size2, window: Size2, pack_w: int):
+    """(nW, N) per-window band ids -> (nGy, nGx, P*N) in kernel raster order.
+
+    nW windows are row-major over (H/wh, W/ww); group (i, j) packs windows
+    j*P..j*P+P-1 of window-row i.  Pure reshape/transpose (no gather).
+    """
+    H, W = x_size
+    wh, ww = window
+    nWy, nWx = H // wh, W // ww
+    b = bands.reshape(nWy, nWx, wh, ww)
+    b = b.reshape(nWy, nWx // pack_w, pack_w, wh, ww)
+    b = b.transpose(0, 1, 3, 2, 4)  # (nGy, nGx, wh, P, ww)
+    return b.reshape(nWy, nWx // pack_w, pack_w * wh * ww)
+
+
+def _window_block_kernel(x_ref, w_ref, b_ref, scale_ref, bias_ref,
+                         *rest, num_heads: int, n_groups: int,
+                         window: Size2, pack_w: int, has_bands: bool,
+                         mm=jnp.bfloat16):
+    if has_bands:
+        bands_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+    wh, ww = window
+    GW = pack_w * ww              # columns per packed group
+    PN = wh * GW                  # tokens per packed attention
+    h = num_heads
+    C3 = w_ref.shape[1]
+    Cw = C3 // 3
+    d = Cw // h
+
+    xb = x_ref[0]                 # (wh, n_groups*GW, C)
+    w = w_ref[...]                # (C, 3Cw) bf16
+    bvec = b_ref[...]             # (1, 3Cw) fp32 (or zeros)
+    scale = scale_ref[...].reshape(1, h, 1, 1)
+    bias = bias_ref[...]          # (h, PN, PN) fp32 (block-diag folded in)
+
+    for g in range(n_groups):     # static unroll: slices stay static
+        xg = xb[:, g * GW:(g + 1) * GW, :].reshape(PN, -1)
+        # qkv transposed: (3Cw, PN) — head split touches sublanes only
+        qkvT = jax.lax.dot_general(
+            w, xg, dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bvec.reshape(-1, 1)
+        qkv = qkvT.reshape(3, h, d, PN)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        qn = q * jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(q * q, 1, keepdims=True), 1e-24))
+        kn = k * jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(k * k, 1, keepdims=True), 1e-24))
+        attn = jax.lax.dot_general(
+            qn.astype(mm), kn.astype(mm),
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                          # (h, PN, PN)
+        attn = attn * scale[0] + bias
+        if has_bands:
+            bg = bands_ref[0, 0, g]          # (PN,) int32
+            attn = attn + jnp.where(bg[None, None, :] != bg[None, :, None],
+                                    -100.0, 0.0)
+        attn = jax.nn.softmax(attn, axis=-1).astype(mm)
+        # per-head AV emits (PN, d) DIRECTLY (tokens-major), so the NHWC
+        # write needs no transpose; heads concat on the lane axis.  (An
+        # MXU eye-transpose here cost more FLOPs than the attention.)
+        vb = v.astype(mm)
+        heads = [
+            jax.lax.dot_general(
+                attn[i], vb[i],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                      # (PN, d)
+            for i in range(h)
+        ]
+        yt = jnp.concatenate(heads, axis=-1)  # (PN, Cw)
+        o_ref[0, :, g * GW:(g + 1) * GW, :] = (
+            yt.reshape(wh, GW, Cw).astype(o_ref.dtype))
+
+
+def fused_window_half(x, wqkv, bqkv, logit_scale, bias, window: Size2,
+                      bands=None, pack_w: Optional[int] = None,
+                      groups_per_step: Optional[int] = None,
+                      interpret: Optional[bool] = None):
+    """Whole window-half: NHWC x -> NHWC attention output (pre-proj).
+
+    x: (B, H, W, C) (pre-rolled when shifted); wqkv: (C, 3Cw) this half's
+    projection slice; bqkv: (3Cw,) or None; bias: (h, N, N) fp32 from
+    AffineTransform.bias; bands: (nW, N) int32 shift band ids or None.
+    Returns y: (B, H, W, Cw).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    mm = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    B, H, W, C = x.shape
+    wh, ww = window
+    C3 = wqkv.shape[1]
+    Cw = C3 // 3
+    h = logit_scale.shape[0]
+    if pack_w is None:
+        pack_w = _auto_pack_w(W, window)
+    PN = pack_w * wh * ww
+    GW = pack_w * ww
+    nGx = W // GW
+    if groups_per_step is None:
+        # VMEM: x block + out block + per-group fp32 intermediates
+        per_group = 4 * (2 * C3 * PN + (h + 1) * PN * PN + PN * C)
+        blk = 2 * (wh * GW * C + wh * GW * Cw) * x.dtype.itemsize
+        groups_per_step = max(1, min(nGx,
+                              (10 * 1024 * 1024 - per_group) // max(blk, 1)))
+        while nGx % groups_per_step:
+            groups_per_step -= 1
+    nG = groups_per_step
+    grid = (B, H // wh, nGx // nG)
+
+    scale = jnp.exp(jnp.minimum(logit_scale, math.log(100.0))).reshape(h, 1)
+    bias_packed = pack_window_bias(bias, window, pack_w)
+    bq = (jnp.zeros((1, C3), jnp.float32) if bqkv is None
+          else bqkv.reshape(1, C3).astype(jnp.float32))
+
+    in_specs = [
+        pl.BlockSpec((1, wh, nG * GW, C), lambda b, i, j: (b, i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, C3), lambda b, i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C3), lambda b, i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, 1), lambda b, i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, PN, PN), lambda b, i, j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x, wqkv.astype(mm), bq, scale, bias_packed]
+    has_bands = bands is not None
+    if has_bands:
+        br = raster_bands(bands, (H, W), window, pack_w).astype(jnp.int32)
+        br = br.reshape(H // wh, nGx // nG, nG, PN)
+        in_specs.append(
+            pl.BlockSpec((1, 1, nG, PN), lambda b, i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM))
+        args.append(br)
+
+    kernel = functools.partial(
+        _window_block_kernel, num_heads=h, n_groups=nG, window=window,
+        pack_w=pack_w, has_bands=has_bands, mm=mm)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, wh, nG * GW, Cw),
+                               lambda b, i, j: (b, i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Cw), x.dtype),
+        interpret=interpret,
+    )(*args)
+
+
+def _stripe_block_kernel(x_ref, a_ref, w_ref, b_ref, s1_ref, s2_ref,
+                         bias1_ref, bias2_ref, *rest, num_heads: int,
+                         has_bands: bool, stripe: Size2, anchor_size: Size2,
+                         n_stripes: int, horizontal: bool, mm=jnp.bfloat16):
+    if has_bands:
+        bands_ref, bands_a_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+    h = num_heads
+    C3 = w_ref.shape[1]
+    Cs = C3 // 3
+    d = Cs // h
+    sh, sw = stripe
+    ah, aw = anchor_size
+    N1 = sh * sw
+    N2 = ah * aw
+
+    xb = x_ref[0]                  # (sh, nS*sw, C) or (nS*sh, sw, C)
+    ab = a_ref[0, 0, 0]            # (nS*N2, Cs): pre-partitioned outside —
+    # anchor stripes are too narrow (aw = sw/df < 8) for Mosaic sub-block
+    # slicing, so the host pre-partitions anchor tokens per stripe (tiny copy)
+    w = w_ref[...]
+    bvec = b_ref[...].reshape(-1, 1)
+    scale1 = s1_ref[...].reshape(h, 1, 1)
+    scale2 = s2_ref[...].reshape(h, 1, 1)
+
+    def _norm(t):
+        return t * jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(t * t, 1, keepdims=True), 1e-24))
+
+    eye_cs = jnp.eye(Cs, dtype=mm)
+
+    for s in range(n_stripes):     # static unroll: slices stay static
+        if horizontal:
+            xg = xb[:, s * sw:(s + 1) * sw, :].reshape(N1, -1)
+        else:
+            xg = xb[s * sh:(s + 1) * sh, :, :].reshape(N1, -1)
+        ag = ab[s * N2:(s + 1) * N2, :]
+
+        qkvT = jax.lax.dot_general(
+            w, xg, dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bvec
+        qkv = qkvT.reshape(3, h, d, N1)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        # anchor transposed to (h, d, N2) via MXU contraction with identity
+        aT = jax.lax.dot_general(
+            eye_cs, ag.astype(mm),
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(h, d, N2)
+
+        qn, kn, an = _norm(q), _norm(k), _norm(aT)
+
+        # ---- anchor <- stripe aggregation (a2w)
+        attn1 = jax.lax.dot_general(
+            an.astype(mm), kn.astype(mm),
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                          # (h, N2, N1)
+        attn1 = attn1 * scale1 + bias1_ref[...]
+        if has_bands:
+            bs = bands_ref[0, 0, s]
+            ba = bands_a_ref[0, 0, s]
+            attn1 = attn1 + jnp.where(
+                ba[None, :, None] != bs[None, None, :], -100.0, 0.0)
+        attn1 = jax.nn.softmax(attn1, axis=-1)
+        x1 = jax.lax.dot_general(
+            v.astype(mm), attn1.astype(mm),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                          # (h, d, N2)
+
+        # ---- stripe <- anchor redistribution (w2a), computed TRANSPOSED:
+        # attn2T (h, N2, N1) keeps lanes at N1 (unpadded; N2=32 as minor
+        # would pad 4x) and the softmax reduces over the sublane axis
+        attn2t = jax.lax.dot_general(
+            an.astype(mm), qn.astype(mm),
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                          # (h, N2, N1)
+        attn2t = attn2t * scale2 + bias2_ref[...]
+        if has_bands:
+            attn2t = attn2t + jnp.where(
+                ba[None, :, None] != bs[None, None, :], -100.0, 0.0)
+        attn2t = jax.nn.softmax(attn2t, axis=-2).astype(mm)
+        # per-head output emits (N1, d) directly (tokens-major NHWC write);
+        # heads concat on the lane axis — no MXU eye-transpose
+        x1b = x1.astype(mm)
+        heads = [
+            jax.lax.dot_general(
+                attn2t[i], x1b[i],
+                dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                      # (N1, d)
+            for i in range(h)
+        ]
+        yt = jnp.concatenate(heads, axis=-1).reshape(
+            sh, sw, Cs).astype(o_ref.dtype)
+        if horizontal:
+            o_ref[0, :, s * sw:(s + 1) * sw, :] = yt
+        else:
+            o_ref[0, s * sh:(s + 1) * sh, :, :] = yt
+
+
+def fused_stripe_half(x, anchor, wqkv, bqkv, logit_scale1, logit_scale2,
+                      bias_a2w, bias_w2a, stripe: Size2, df: int,
+                      bands=None, bands_a=None,
+                      interpret: Optional[bool] = None):
+    """Whole anchored-stripe half: NHWC x + anchor -> NHWC output (pre-proj).
+
+    x: (B, H, W, C) (pre-rolled when shifted); anchor: (B, H/df, W/df, Cs);
+    wqkv: (C, 3Cs); biases fp32 (h, N2, N1) / (h, N1, N2); bands/bands_a:
+    (nW, N1)/(nW, N2) int32 or None.  Returns (B, H, W, Cs).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    mm = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    B, H, W, C = x.shape
+    sh, sw = stripe
+    ah, aw = sh // df, sw // df
+    C3 = wqkv.shape[1]
+    Cs = C3 // 3
+    h = logit_scale1.shape[0]
+    N1, N2 = sh * sw, ah * aw
+    nWy, nWx = H // sh, W // sw
+    # pack several stripes per grid step (static in-kernel loop) so the
+    # Mosaic per-step overhead amortizes; stripes extend along their long
+    # axis, so packing walks the SHORT axis (cols for horizontal stripes)
+    horizontal = sw >= sh
+    n_packable = nWx if horizontal else nWy
+    nS = min(n_packable, max(1, 4096 // N1))
+    while n_packable % nS:
+        nS -= 1
+    # anchor stripes are narrower than Mosaic's minimum sublane block (e.g.
+    # aw=2 for vertical stripes): pre-partition anchor tokens per stripe so
+    # the kernel takes static (N2, Cs) row slices.  Tiny copy: the anchor is
+    # df^2-x smaller than x.
+    from grlir.ops.layout import window_partition
+
+    a_tok = window_partition(anchor, (ah, aw))  # (B, nA, N2, Cs) row-major
+    if horizontal:
+        grid = (B, nWy, nWx // nS)
+        xblk = (1, sh, nS * sw, C)
+        a_tok = a_tok.reshape(B, nWy, nWx // nS, nS * N2, Cs)
+        oblk = (1, sh, nS * sw, Cs)
+    else:
+        grid = (B, nWy // nS, nWx)
+        xblk = (1, nS * sh, sw, C)
+        a_tok = a_tok.reshape(B, nWy // nS, nS, nWx, N2, Cs).transpose(
+            0, 1, 3, 2, 4, 5).reshape(B, nWy // nS, nWx, nS * N2, Cs)
+        oblk = (1, nS * sh, sw, Cs)
+    ablk = (1, 1, 1, nS * N2, Cs)
+    a_index = lambda b, i, j: (b, i, j, 0, 0)
+
+    s1 = jnp.exp(jnp.minimum(logit_scale1, math.log(100.0))).reshape(h, 1)
+    s2 = jnp.exp(jnp.minimum(logit_scale2, math.log(100.0))).reshape(h, 1)
+    bq = (jnp.zeros((1, C3), jnp.float32) if bqkv is None
+          else bqkv.reshape(1, C3).astype(jnp.float32))
+
+    in_specs = [
+        pl.BlockSpec(xblk, lambda b, i, j: (b, i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(ablk, a_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, C3), lambda b, i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C3), lambda b, i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, 1), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, 1), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, N2, N1), lambda b, i, j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        # w2a bias transposed: the kernel computes attn2 transposed so its
+        # lanes stay at N1 (see _stripe_block_kernel)
+        pl.BlockSpec((h, N2, N1), lambda b, i, j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x, a_tok, wqkv.astype(mm), bq, s1, s2,
+            bias_a2w.astype(jnp.float32),
+            jnp.swapaxes(bias_w2a, 1, 2).astype(jnp.float32)]
+    has_bands = bands is not None
+    assert (bands is None) == (bands_a is None), (bands, bands_a)
+    if has_bands:
+        # band ids arrive per window (nW, N) row-major over (nWy, nWx);
+        # group them to match the packed grid blocks
+        if horizontal:
+            bsr = bands.reshape(nWy, nWx // nS, nS, N1)
+            bar = bands_a.reshape(nWy, nWx // nS, nS, N2)
+        else:
+            bsr = bands.reshape(nWy // nS, nS, nWx, N1).transpose(0, 2, 1, 3)
+            bar = bands_a.reshape(nWy // nS, nS, nWx, N2).transpose(0, 2, 1, 3)
+        in_specs.append(
+            pl.BlockSpec((1, 1, nS, N1), lambda b, i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM))
+        in_specs.append(
+            pl.BlockSpec((1, 1, nS, N2), lambda b, i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM))
+        args += [bsr.astype(jnp.int32), bar.astype(jnp.int32)]
+
+    kernel = functools.partial(_stripe_block_kernel, num_heads=h,
+                               has_bands=has_bands, stripe=stripe,
+                               anchor_size=(ah, aw), n_stripes=nS,
+                               horizontal=horizontal, mm=mm)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(oblk, lambda b, i, j: (b, i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Cs), x.dtype),
+        interpret=interpret,
+    )(*args)

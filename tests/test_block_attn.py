@@ -1,0 +1,248 @@
+"""Pallas v3 whole-block-half kernels vs the XLA cm path (interpret mode).
+
+The v3 kernels (ops/pallas/block_attn.py) subsume qkv projection, window
+partition, attention, and reverse in one pallas_call; these tests pin them
+to the channel-major XLA formulation they replace (the same math as
+/root/reference/models/common/mixed_attn_block_efficient.py:128-270).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from grlir.ops.layout import window_partition_cm, window_reverse_cm
+from grlir.ops.pallas.block_attn import fused_stripe_half, fused_window_half
+
+B, H, W, C = 2, 32, 32, 64
+CW, HEADS = 32, 2
+WH = WW = 8
+N = WH * WW
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    return {
+        "x": rng.standard_normal((B, H, W, C)).astype(np.float32),
+        "wqkv": (rng.standard_normal((C, 3 * CW)) * 0.05).astype(np.float32),
+        "bqkv": (rng.standard_normal(3 * CW) * 0.05).astype(np.float32),
+        "rng": rng,
+    }
+
+
+def _norm(t):
+    return t / jnp.maximum(jnp.linalg.norm(t, axis=-2, keepdims=True), 1e-12)
+
+
+def _ref_window(d, logit_scale, bias, bands=None):
+    xw = window_partition_cm(jnp.asarray(d["x"]), (WH, WW))
+    qkv = (jnp.einsum("ck,bwcn->bwkn", jnp.asarray(d["wqkv"]), xw)
+           + d["bqkv"][None, None, :, None])
+    Bq, nW, _, N_ = qkv.shape
+    q, k, v = (qkv[:, :, i * CW:(i + 1) * CW].reshape(Bq, nW, HEADS,
+                                                      CW // HEADS, N_)
+               for i in range(3))
+    attn = jnp.einsum("bwhdn,bwhdm->bwhnm", _norm(q), _norm(k))
+    scale = jnp.exp(jnp.minimum(logit_scale, math.log(100.0)))
+    attn = attn * scale[None, None] + bias[None, None]
+    if bands is not None:
+        m = jnp.where(bands[:, None, :] != bands[:, :, None], -100.0, 0.0)
+        attn = attn + m[None, :, None]
+    attn = jax.nn.softmax(attn, axis=-1)
+    y = jnp.einsum("bwhnm,bwhdm->bwhdn", attn, v).reshape(Bq, nW, CW, N_)
+    return np.asarray(window_reverse_cm(y, (WH, WW), (H, W)))
+
+
+@pytest.mark.parametrize("shifted", [False, True])
+def test_window_half_matches_xla(data, shifted):
+    rng = np.random.default_rng(1)
+    logit_scale = jnp.full((HEADS, 1, 1), math.log(10.0), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((HEADS, N, N)) * 0.1, jnp.float32)
+    bands = None
+    if shifted:
+        nW = (H // WH) * (W // WW)
+        bands = jnp.asarray(rng.integers(0, 3, (nW, N)), jnp.int32)
+    want = _ref_window(data, logit_scale, bias, bands)
+    got = np.asarray(fused_window_half(
+        jnp.asarray(data["x"]), jnp.asarray(data["wqkv"]),
+        jnp.asarray(data["bqkv"]), logit_scale, bias, (WH, WW),
+        bands=bands, interpret=True))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
+def _ref_stripe(d, anchor, stripe, df, ls1, ls2, b1, b2,
+                bands=None, bands_a=None):
+    sh, sw = stripe
+    ah, aw = sh // df, sw // df
+    N1, N2 = sh * sw, ah * aw
+    xw = window_partition_cm(jnp.asarray(d["x"]), (sh, sw))
+    qkv = (jnp.einsum("ck,bwcn->bwkn", jnp.asarray(d["wqkv"]), xw)
+           + d["bqkv"][None, None, :, None])
+    a_cm = window_partition_cm(jnp.asarray(anchor), (ah, aw))
+    Bq, nW, _, _ = qkv.shape
+    q, k, v = (qkv[:, :, i * CW:(i + 1) * CW].reshape(Bq, nW, HEADS,
+                                                      CW // HEADS, N1)
+               for i in range(3))
+    a = a_cm.reshape(Bq, nW, HEADS, CW // HEADS, N2)
+    s1 = jnp.exp(jnp.minimum(ls1, math.log(100.0)))
+    s2 = jnp.exp(jnp.minimum(ls2, math.log(100.0)))
+    at1 = (jnp.einsum("bwhdn,bwhdm->bwhnm", _norm(a), _norm(k))
+           * s1[None, None] + b1[None, None])
+    if bands is not None:
+        at1 = at1 + jnp.where(
+            bands_a[:, None, :, None] != bands[:, None, None, :], -100.0, 0.0)
+    at1 = jax.nn.softmax(at1, axis=-1)
+    x1 = jnp.einsum("bwhnm,bwhdm->bwhdn", at1, v)
+    at2 = (jnp.einsum("bwhdn,bwhdm->bwhnm", _norm(q), _norm(a))
+           * s2[None, None] + b2[None, None])
+    if bands is not None:
+        at2 = at2 + jnp.where(
+            bands[:, None, :, None] != bands_a[:, None, None, :], -100.0, 0.0)
+    at2 = jax.nn.softmax(at2, axis=-1)
+    y = jnp.einsum("bwhnm,bwhdm->bwhdn", at2, x1).reshape(Bq, nW, CW, N1)
+    return np.asarray(window_reverse_cm(y, (sh, sw), (H, W)))
+
+
+# (8,16) is a horizontal stripe; (16,8) exercises the vertical layout where
+# the anchor is pre-partitioned (aw < 8 violates Mosaic sublane blocks)
+@pytest.mark.parametrize("stripe", [(8, 16), (16, 8)])
+@pytest.mark.parametrize("shifted", [False, True])
+def test_stripe_half_matches_xla(data, stripe, shifted):
+    rng = np.random.default_rng(2)
+    sh, sw = stripe
+    df = 4
+    ah, aw = sh // df, sw // df
+    N1, N2 = sh * sw, ah * aw
+    anchor = rng.standard_normal((B, H // df, W // df, CW)).astype(np.float32)
+    ls1 = jnp.full((HEADS, 1, 1), math.log(8.0), jnp.float32)
+    ls2 = jnp.full((HEADS, 1, 1), math.log(12.0), jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((HEADS, N2, N1)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((HEADS, N1, N2)) * 0.1, jnp.float32)
+    bands = bands_a = None
+    if shifted:
+        nW = (H // sh) * (W // sw)
+        bands = jnp.asarray(rng.integers(0, 3, (nW, N1)), jnp.int32)
+        bands_a = jnp.asarray(rng.integers(0, 3, (nW, N2)), jnp.int32)
+    want = _ref_stripe(data, anchor, stripe, df, ls1, ls2, b1, b2,
+                       bands, bands_a)
+    got = np.asarray(fused_stripe_half(
+        jnp.asarray(data["x"]), jnp.asarray(anchor),
+        jnp.asarray(data["wqkv"]), jnp.asarray(data["bqkv"]),
+        ls1, ls2, b1, b2, stripe, df, bands=bands, bands_a=bands_a,
+        interpret=True))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
+def test_vmem_guards():
+    from grlir.ops.pallas import block_attn as ba
+
+    # GRL-S serving geometry fits
+    assert ba.window_half_supported((256, 256), (8, 8), 3)
+    assert ba.stripe_half_supported((256, 256), (8, 64), 4, 3)
+    # GRL-base window-32 tiles don't (packed bias alone is >24 MB fp32)
+    assert not ba.window_half_supported((256, 256), (32, 32), 6)
+    # non-divisible geometry
+    assert not ba.window_half_supported((250, 250), (8, 8), 3)
+
+
+def test_model_level_v3_fallback(monkeypatch):
+    """With the VMEM budget forced to 0 every v3 block must fall through to
+    the XLA cm path and still match."""
+    from dataclasses import replace
+
+    from grlir.models.grl import GRL, GRLConfig
+    from grlir.ops.pallas import block_attn as ba
+
+    monkeypatch.setattr(ba, "_BIAS_VMEM_BUDGET", 0)
+    cfg = GRLConfig(
+        embed_dim=32, upscale=1, upsampler="", depths=(2,),
+        num_heads_window=(2,), num_heads_stripe=(2,), window_size=8,
+        mlp_ratio=2, stripe_size=(8, None), stripe_groups=(None, 4),
+        stripe_shift=True, anchor_window_down_factor=4, drop_path_rate=0.0,
+    )
+    x = jnp.asarray(np.random.default_rng(0).random((1, 32, 32, 3)),
+                    jnp.float32)
+    model = GRL(cfg)
+    params = model.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(model.apply(params, x))
+    got = np.asarray(
+        GRL(replace(cfg, use_pallas_attention="v3")).apply(params, x))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
+def test_qkv_cm_split_mode_parity():
+    """set_qkv_cm_mode('split') (three per-tensor contractions) must match
+    the fused 3C projection bit-for-bit at the model level."""
+    from dataclasses import replace
+
+    from grlir.models import blocks
+    from grlir.models.grl import GRL, GRLConfig
+
+    cfg = GRLConfig(
+        embed_dim=32, upscale=1, upsampler="", depths=(2,),
+        num_heads_window=(2,), num_heads_stripe=(2,), window_size=8,
+        mlp_ratio=2, stripe_size=(8, None), stripe_groups=(None, 4),
+        stripe_shift=True, anchor_window_down_factor=4, drop_path_rate=0.0,
+        attn_io="cm",
+    )
+    x = jnp.asarray(np.random.default_rng(0).random((1, 32, 32, 3)),
+                    jnp.float32)
+    model = GRL(cfg)
+    params = model.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(model.apply(params, x))
+    blocks.set_qkv_cm_mode("split")
+    try:
+        got = np.asarray(model.apply(params, x))
+    finally:
+        blocks.set_qkv_cm_mode("fused")
+    np.testing.assert_allclose(got, want, atol=3e-6, rtol=1e-5)
+
+
+def test_bias_pair_flat_parity():
+    """set_bias_pair_flat(True) (pair-flattened contraction + one transpose)
+    must match the direct 5D factored-bias einsum at the model level."""
+    from grlir.models import blocks
+    from grlir.models.grl import GRL, GRLConfig
+
+    cfg = GRLConfig(
+        embed_dim=32, upscale=1, upsampler="", depths=(2,),
+        num_heads_window=(2,), num_heads_stripe=(2,), window_size=8,
+        mlp_ratio=2, stripe_size=(8, None), stripe_groups=(None, 4),
+        stripe_shift=True, anchor_window_down_factor=4, drop_path_rate=0.0,
+    )
+    x = jnp.asarray(np.random.default_rng(0).random((1, 32, 32, 3)),
+                    jnp.float32)
+    model = GRL(cfg)
+    params = model.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(model.apply(params, x))
+    blocks.set_bias_pair_flat(True)
+    try:
+        got = np.asarray(model.apply(params, x))
+    finally:
+        blocks.set_bias_pair_flat(False)
+    np.testing.assert_allclose(got, want, atol=3e-6, rtol=1e-5)
+
+
+def test_model_level_v3_parity():
+    """Whole GRL forward with use_pallas_attention='v3' vs the XLA path."""
+    from dataclasses import replace
+
+    from grlir.models.grl import GRL, GRLConfig
+
+    cfg = GRLConfig(
+        embed_dim=32, upscale=1, upsampler="", depths=(2,),
+        num_heads_window=(2,), num_heads_stripe=(2,), window_size=8,
+        mlp_ratio=2, stripe_size=(8, None), stripe_groups=(None, 4),
+        stripe_shift=True, anchor_window_down_factor=4, drop_path_rate=0.0,
+    )
+    x = jnp.asarray(np.random.default_rng(0).random((1, 32, 32, 3)),
+                    jnp.float32)
+    model = GRL(cfg)
+    params = model.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(model.apply(params, x))
+    got = np.asarray(
+        GRL(replace(cfg, use_pallas_attention="v3")).apply(params, x))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)

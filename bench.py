@@ -49,6 +49,10 @@ def bench_jax(hw: int, bs: int, iters: int) -> float:
         cfg = replace(cfg, use_pallas_attention=pallas_env)
     if os.environ.get("GRLIR_BENCH_LAYOUT"):
         cfg = replace(cfg, attn_layout=os.environ["GRLIR_BENCH_LAYOUT"])
+    if os.environ.get("GRLIR_BENCH_BIAS") == "pairflat":
+        from grlir.models.blocks import set_bias_pair_flat
+
+        set_bias_pair_flat(True)
     if os.environ.get("GRLIR_BENCH_IO"):
         cfg = replace(cfg, attn_io=os.environ["GRLIR_BENCH_IO"])
     model = GRL(cfg)

@@ -50,7 +50,13 @@ def main():
     pl = os.environ.get("GRLIR_TILE_PALLAS", "")
     if pl:
         cfg = replace(
-            cfg, use_pallas_attention=pl if pl in ("window", "stripe") else True)
+            cfg,
+            use_pallas_attention=pl if pl in ("window", "stripe", "v3")
+            else True)
+    if os.environ.get("GRLIR_TILE_BIAS") == "pairflat":
+        from grlir.models.blocks import set_bias_pair_flat
+
+        set_bias_pair_flat(True)
 
     model = GRL(cfg)
     rng = np.random.default_rng(0)

@@ -52,6 +52,14 @@ def main():
     # default to the TRAINING io (grlir.train pins legacy: its backward is
     # ~7% faster than cm; serving uses cm)
     cfg = replace(cfg, attn_io=os.environ.get("GRLIR_TRAIN_IO", "legacy"))
+    if os.environ.get("GRLIR_TRAIN_QKV_MODE"):
+        from grlir.models.blocks import set_qkv_cm_mode
+
+        set_qkv_cm_mode(os.environ["GRLIR_TRAIN_QKV_MODE"])
+    if os.environ.get("GRLIR_TRAIN_BIAS") == "pairflat":
+        from grlir.models.blocks import set_bias_pair_flat
+
+        set_bias_pair_flat(True)
     model = GRL(cfg)
     opt = optax.adam(2e-4)
     raw_step = make_train_step(model, opt, {"l1": 1.0}, jit_compile=False)

@@ -21,7 +21,6 @@ import os.path as osp
 from typing import Optional
 
 import numpy as np
-from scipy import ndimage
 from scipy.interpolate import RectBivariateSpline, interp1d
 from scipy.linalg import orth
 from scipy.stats import multivariate_normal
@@ -163,10 +162,30 @@ def _malvar_kernels():
     return kgrb, krbg0, krbg1, krbbr
 
 
+def _conv2_mirror(img: np.ndarray, k: np.ndarray, flip: bool = True):
+    """``ndimage.convolve(img, k[..., None], mode="mirror")`` on HWC (or
+    ``correlate`` on HW with ``flip=False``), via ``cv2.filter2D``.
+
+    cv2 correlates, so the kernel is flipped for convolution; ndimage's
+    "mirror" border is cv2 BORDER_REFLECT_101.  Exact same math (one
+    fused multiply-add stencil), but SIMD/DFT-backed: ndimage's direct 3D
+    stencil was 83%% of degradation_sr2 host time (~145 ms per 21x21 blur
+    at 400px; filter2D is ~10x faster).  Odd kernel sizes only — callers
+    here always build 2k+1 kernels.
+    """
+    import cv2
+
+    assert k.shape[0] % 2 == 1 and k.shape[1] % 2 == 1, k.shape
+    kk = k[::-1, ::-1] if flip else k
+    kk = np.ascontiguousarray(kk, np.float32 if img.dtype != np.float64
+                              else np.float64)
+    return cv2.filter2D(img, -1, kk, borderType=cv2.BORDER_REFLECT_101)
+
+
 def demosaic_malvar(cfa: np.ndarray) -> np.ndarray:
     """RGGB CFA (H,W) -> RGB (H,W,3), MATLAB/Malvar (utils_isp.py:215-290)."""
     kgrb, krbg0, krbg1, krbbr = _malvar_kernels()
-    conv = [ndimage.correlate(cfa, k, mode="mirror")
+    conv = [_conv2_mirror(cfa, k, flip=False)
             for k in (kgrb, krbg0, krbg1, krbbr)]
     r = cfa.copy(); g = cfa.copy(); b = cfa.copy()
     g[0::2, 0::2] = conv[0][0::2, 0::2]
@@ -377,7 +396,7 @@ def degradation_sr2(img: np.ndarray, sf: int, ispmodel: Optional[ISPModel],
             else:
                 k = _fspecial_gaussian(2 * int(rng.integers(2, 12)) + 3,
                                        wd * rng.random())
-            img = ndimage.convolve(img, k[..., None], mode="mirror")
+            img = _conv2_mirror(img, k)
         elif op == 1:  # downsample 1 (captures reference dims for op 6)
             a, b = img.shape[1], img.shape[0]
             if rng.random() < 0.5:
@@ -388,7 +407,7 @@ def degradation_sr2(img: np.ndarray, sf: int, ispmodel: Optional[ISPModel],
                 k = _fspecial_gaussian(25, rng.uniform(0.1, 0.4 * sf))
                 k = shift_pixel(k, sf)
                 k = k / k.sum()
-                img = ndimage.convolve(img, k[..., None], mode="mirror")
+                img = _conv2_mirror(img, k)
                 img = img[0::sf, 0::sf, ...]
             img = np.clip(img, 0, 1)
         elif op == 2:  # camera ISP noise (25%)
@@ -417,7 +436,7 @@ def degradation_sr2(img: np.ndarray, sf: int, ispmodel: Optional[ISPModel],
         elif op == 5:  # blur 2
             k = _fspecial_gaussian(2 * int(rng.integers(2, 12)) + 3,
                                    wd * rng.random())
-            img = ndimage.convolve(img, k[..., None], mode="mirror")
+            img = _conv2_mirror(img, k)
         elif op == 6:  # downsample 2 to final size
             img = _cv2_resize(img, int(a / sf), int(b / sf), rng)
             img = np.clip(img, 0, 1)

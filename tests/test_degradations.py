@@ -122,3 +122,28 @@ def test_db_forward_train_crop():
     assert tgt.shape == (1, 16, 16, 3)
     lq_v, tgt_v = D.db_forward(noise, gt, k, training=False)
     assert lq_v.shape == (1, 40, 40, 3)
+
+
+def test_conv2_mirror_matches_ndimage():
+    """_conv2_mirror (cv2.filter2D fast path) == scipy.ndimage with
+    mode='mirror', for both convolve (flip=True, HWC) and correlate
+    (flip=False, HW) on the kernel population degradation_sr2 uses."""
+    import numpy as np
+    from scipy import ndimage
+
+    from grlir.data import bsr_utils as bu
+
+    rng = np.random.default_rng(0)
+    img = rng.random((64, 80, 3)).astype(np.float32)
+    for ks in (7, 21, 25):
+        k = bu._fspecial_gaussian(ks, 2.5)
+        want = ndimage.convolve(img, k[..., None], mode="mirror")
+        np.testing.assert_allclose(bu._conv2_mirror(img, k), want, atol=1e-6)
+        ka = bu.anisotropic_gaussian(ksize=ks, theta=0.7, l1=3.0, l2=1.0)
+        want = ndimage.convolve(img, ka[..., None], mode="mirror")
+        np.testing.assert_allclose(bu._conv2_mirror(img, ka), want, atol=1e-6)
+    cfa = rng.random((32, 32)).astype(np.float32)
+    for k in bu._malvar_kernels():
+        want = ndimage.correlate(cfa, k, mode="mirror")
+        np.testing.assert_allclose(
+            bu._conv2_mirror(cfa, k, flip=False), want, atol=1e-6)

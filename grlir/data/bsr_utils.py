@@ -219,17 +219,25 @@ class ISPNet:
     DELTA = 1e-6
 
     def __init__(self, cam2xyz: np.ndarray, tone_x: np.ndarray,
-                 tone_y: np.ndarray, exposure_offset: float = 0.0):
+                 tone_y: np.ndarray, exposure_offset: float = 0.0,
+                 luts=None):
         self.m_raw2xyz = cam2xyz.astype(np.float64)
         self.m_raw2xyz_inv = np.linalg.inv(self.m_raw2xyz)
         self.m_xyz2rgb = xyz2linearrgb_weight()
         self.m_xyz2rgb_inv = np.linalg.inv(self.m_xyz2rgb)
         self.exposure = float(exposure_offset)
 
-        xi = np.linspace(0, 1, int(1 / self.DELTA + 1))
-        yi = interp1d(tone_x, tone_y, kind="cubic")(xi)
-        self.tone = yi.astype(np.float32)
-        self.tone_inv = interp1d(yi, xi, kind="cubic")(xi).astype(np.float32)
+        if luts is not None:
+            # precomputed (tone, tone_inv) pair — the LUTs are a pure
+            # function of the tone curve, so ISPModel caches them per curve
+            # index (the two 1e6-point cubic splines cost ~0.4 s per build)
+            self.tone, self.tone_inv = luts
+        else:
+            xi = np.linspace(0, 1, int(1 / self.DELTA + 1))
+            yi = interp1d(tone_x, tone_y, kind="cubic")(xi)
+            self.tone = yi.astype(np.float32)
+            self.tone_inv = interp1d(yi, xi,
+                                     kind="cubic")(xi).astype(np.float32)
 
     def _lut(self, x, table):
         idx = np.round(np.clip(x, 0, 1) / self.DELTA).astype(np.int64)
@@ -280,6 +288,7 @@ class ISPModel:
         )["ToneCurves"]
         self.count = 0
         self.isp: Optional[ISPNet] = None
+        self._lut_cache = {}
 
     def _resample(self):
         import scipy.io as spio
@@ -288,10 +297,8 @@ class ISPModel:
         profile = spio.loadmat(
             osp.join(CAMERA_PROFILE_DIR, cam + ".mat"), squeeze_me=True
         )
-        tone = self._tone_curves[
-            TONE_CURVE_IDXS[self.rng.integers(len(TONE_CURVE_IDXS))]
-        ]
-        tone = np.reshape(tone, (2, -1), "F")
+        ti = TONE_CURVE_IDXS[self.rng.integers(len(TONE_CURVE_IDXS))]
+        tone = np.reshape(self._tone_curves[ti], (2, -1), "F")
         fm1 = np.asarray(profile["ForwardMatrix1"], np.float64).reshape(3, 3)
         fm2 = np.asarray(profile["ForwardMatrix2"], np.float64).reshape(3, 3)
         fw = self.rng.random()
@@ -299,7 +306,9 @@ class ISPModel:
                      1.2 + 1.2 * self.rng.random()])
         cam2xyz = (fw * fm1 + (1 - fw) * fm2) @ d
         offset = 0.2 * self.rng.random() - 0.1
-        self.isp = ISPNet(cam2xyz, tone[0], tone[1], offset)
+        self.isp = ISPNet(cam2xyz, tone[0], tone[1], offset,
+                          luts=self._lut_cache.get(ti))
+        self._lut_cache.setdefault(ti, (self.isp.tone, self.isp.tone_inv))
 
     def __call__(self, img: np.ndarray, hr: np.ndarray):
         """Round-trip both images through the camera; noise only on `img`."""

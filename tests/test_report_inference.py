@@ -111,6 +111,14 @@ def test_serve_cli(tmp_path):
                     "--task", "sr", "--scale", "2"])
         res = cv2.imread(str(out / "a.png"))
         assert res.shape == (80, 112, 3)
+
+        # --pallas v3 (interpret mode on CPU) must reproduce the XLA result
+        out2 = tmp_path / "out_v3"
+        serve.main(["--input", str(src), "--output", str(out2),
+                    "--checkpoint", str(ckpt), "--model", "tiny",
+                    "--task", "sr", "--scale", "2", "--pallas", "v3"])
+        res2 = cv2.imread(str(out2 / "a.png"))
+        assert np.abs(res2.astype(int) - res.astype(int)).max() <= 1
     finally:
         zoo.make_config = orig
 

@@ -45,6 +45,20 @@ def build_model_config(cfg: dict):
     return GRLConfig(**m)
 
 
+def progressive_host_rows(per_dev_target: int, batch_size: int,
+                          n_devices: int, n_processes: int) -> int:
+    """Host-local row count for one progressive-batch stage.
+
+    The reference's progressive batch sizes are PER-GPU (engines/base.py:
+    145-165).  The loader provides batch_size x (devices/processes) host-local
+    rows; the per-stage host-local slice is per_dev x (devices/processes), so
+    the global batch assembled by shard_batch is per_dev x devices — the
+    reference's per-GPU x world_size semantics on every process count.
+    """
+    per_dev = max(1, min(per_dev_target, batch_size))
+    return per_dev * (n_devices // n_processes)
+
+
 def load_pretrained(params_template, path: str):
     """Torch .ckpt/.pth -> flax params (tools/trainer.py:91-115 load path)."""
     from grlir.utils import convert as C
@@ -270,12 +284,12 @@ def main(argv=None):
                       f"batch={prog_batches[stage] if stage < len(prog_batches) else '-'} "
                       f"patch={crop}")
             if stage < len(prog_batches):
-                # progressive batch sizes are per-GPU in the reference
-                # (engines/base.py:145-165): slice to per_dev * mesh size so
-                # the sliced batch still tiles the data axis exactly
-                per_dev = max(1, min(prog_batches[stage],
-                                     int(cfg["batch_size"])))
-                bs = per_dev * mesh.devices.size
+                # see progressive_host_rows: the batch here is HOST-LOCAL
+                # (per_host rows), so the slice bound is per_dev x this
+                # host's device share, never the global device count
+                bs = progressive_host_rows(
+                    prog_batches[stage], int(cfg["batch_size"]),
+                    mesh.devices.size, jax.process_count())
                 batch = {k: v[:bs] for k, v in batch.items()}
         batch = shard_batch(batch, mesh)
         key, sub = jax.random.split(key)

@@ -111,6 +111,25 @@ def main():
         mgr.save(2, state_sh, {"val_psnr": 30.0})
         mgr.close()
 
+    # progressive-batch recipe under multi-host: the loader gives HOST-LOCAL
+    # rows (batch_size x local device share); each stage slices host-locally
+    # via progressive_host_rows and shard_batch assembles the global array.
+    # Assert the GLOBAL batch equals per_dev x global devices at every stage
+    # (reference per-GPU semantics, engines/base.py:145-165).
+    from grlir.parallel.mesh import shard_batch
+    from grlir.train import progressive_host_rows
+
+    batch_size_per_dev = 2              # cfg["batch_size"]
+    per_host_rows = batch_size_per_dev * n_local
+    host_batch = {"img_lq": np.zeros((per_host_rows, hw, hw, 3), np.float32)}
+    prog_global = []
+    for stage_bs in (2, 1, 1):          # progressive per-GPU batch recipe
+        rows = progressive_host_rows(stage_bs, batch_size_per_dev,
+                                     n_global, nproc)
+        sliced = {k: v[:rows] for k, v in host_batch.items()}
+        sharded = shard_batch(sliced, mesh)
+        prog_global.append(int(sharded["img_lq"].shape[0]))
+
     # loader striding: rank sees items pid, pid+nproc, ... (loader.py:72-74)
     my_items = list(range(10))[pid::nproc]
 
@@ -137,6 +156,7 @@ def main():
         "losses": losses,
         "psnr_gathered": gathered,
         "my_items": [int(i) for i in my_items],
+        "prog_global": prog_global,
     }), flush=True)
 
 

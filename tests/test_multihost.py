@@ -65,6 +65,9 @@ def test_two_process_train_and_gather():
     expected = sum(30.0 + i for i in range(10)) / 10
     assert r0["psnr_gathered"] == pytest.approx(expected, abs=1e-6)
     assert r1["psnr_gathered"] == pytest.approx(expected, abs=1e-6)
+    # progressive stages on 2 procs x 2 devs: global batch per_dev x 4
+    assert r0["prog_global"] == [8, 4, 4]
+    assert r1["prog_global"] == [8, 4, 4]
 
 
 def _launch(nproc, devs_per_proc, port, extra=(), timeout=600):
@@ -104,6 +107,11 @@ def test_four_process_uneven_split_and_ckpt_restore(tmp_path):
     outs4 = _launch(4, 1, _free_port(), extra=[ckpt, "save"])
     assert [r["n_global"] for r in outs4] == [4] * 4
     assert [r["n_local"] for r in outs4] == [1] * 4
+    # progressive-batch recipe: global batch = per_dev x 4 devices at every
+    # stage even at process_count=4 (the round-3 bug sliced in global units,
+    # a silent no-op on multi-host)
+    for r in outs4:
+        assert r["prog_global"] == [8, 4, 4]
     # lockstep SPMD across 4 hosts
     for r in outs4[1:]:
         assert r["losses"] == pytest.approx(outs4[0]["losses"], rel=1e-6)

@@ -69,9 +69,20 @@ def make_gan_train_step(
     cfg: GANLossConfig,
     perceptual_fn: Optional[Callable] = None,
     mesh: Optional[Mesh] = None,
+    lightning_parity: bool = False,
 ):
     """perceptual_fn(pred, target) -> scalar (already layer-weighted); None
-    disables the perceptual term (e.g. before VGG weights are provided)."""
+    disables the perceptual term (e.g. before VGG weights are provided).
+
+    lightning_parity=False (default): one generator forward per step; the
+    discriminator trains on that output detached (BasicSR-style, one forward
+    cheaper).  True: reproduce the reference's Lightning optimizer_idx
+    protocol bit-for-bit (base_gan.py:86-90 — training_step runs self(batch)
+    PER OPTIMIZER, so the D step sees a FRESH forward through the UPDATED
+    generator, and the D(fake) call in the G step advances spectral-norm
+    power iteration too: 3 iterations per step, not 2).  Used by the
+    trajectory-parity tests; costs one extra G forward per step.
+    """
     pixel_fn = LOSS_FNS[cfg.pixel_loss]
 
     def step_fn(state: GANTrainState, batch, rng):
@@ -106,26 +117,39 @@ def make_gan_train_step(
                 l_per = perceptual_fn(restored, t_per) * cfg.perceptual_weight
                 parts["loss_g_percep"] = l_per
                 total = total + l_per
-            fake_pred, _ = disc_apply(state.params_d, state.spectral,
-                                      restored, update=False)
+            # lightning_parity: this train-mode D forward advances the SN
+            # power iteration like torch's does; u is a buffer, so the
+            # mutation carries no gradient
+            fake_pred, vars_g = disc_apply(state.params_d, state.spectral,
+                                           restored, update=lightning_parity)
             l_gan = gan_loss(fake_pred, True, cfg.gan_type, is_disc=False,
                              loss_weight=cfg.gan_weight)
             parts["loss_g_gan"] = l_gan
             total = total + l_gan
             parts["loss_g"] = total
-            return total, (parts, restored)
+            return total, (parts, restored, vars_g["spectral"])
 
-        (l_g, (parts_g, restored)), grads_g = jax.value_and_grad(
+        (l_g, (parts_g, restored, spectral_g)), grads_g = jax.value_and_grad(
             g_loss, has_aux=True)(state.params_g["params"])
         upd_g, opt_state_g = opt_g.update(
             grads_g, state.opt_state_g, state.params_g["params"])
         params_g = optax.apply_updates(state.params_g["params"], upd_g)
+        spectral_in = jax.lax.stop_gradient(
+            spectral_g) if lightning_parity else state.spectral
 
         # ---- discriminator step (base_gan.py:129-145)
-        restored_detached = jax.lax.stop_gradient(restored)
+        if lightning_parity:
+            # the reference's Lightning loop calls self(batch) again for
+            # optimizer_idx=1, i.e. the D step trains on a fresh forward
+            # through the UPDATED generator (base_gan.py:86-90)
+            restored_detached = jax.lax.stop_gradient(
+                generator.apply({"params": params_g}, lq,
+                                deterministic=False, rngs={"droppath": rng}))
+        else:
+            restored_detached = jax.lax.stop_gradient(restored)
 
         def d_loss(pd):
-            real_pred, vars1 = disc_apply({"params": pd}, state.spectral,
+            real_pred, vars1 = disc_apply({"params": pd}, spectral_in,
                                           t_gan, update=True)
             l_real = gan_loss(real_pred, True, cfg.gan_type, is_disc=True)
             fake_pred, vars2 = disc_apply({"params": pd}, vars1["spectral"],

@@ -61,6 +61,11 @@ class SNConv(nn.Module):
             u_var.value = jax.lax.stop_gradient(u)
         else:
             v = _l2n(w_mat.T @ u)
+        # torch treats u AND v as buffers: grad(sigma) wrt W is exactly
+        # outer(u, v) — without the stop_gradient here the extra path through
+        # v = l2n(W^T u) changes D gradients vs the reference
+        u = jax.lax.stop_gradient(u)
+        v = jax.lax.stop_gradient(v)
         sigma = u @ (w_mat @ v)
         kernel = kernel / sigma
 

@@ -42,8 +42,12 @@ def bench_jax(hw: int, bs: int, iters: int) -> float:
     # GRLIR_BENCH_DTYPE=float32 for the strict-parity configuration.
     cfg = replace(zoo.GRL_SMALL,
                   dtype=os.environ.get("GRLIR_BENCH_DTYPE", "bfloat16"))
-    pallas_env = os.environ.get("GRLIR_BENCH_PALLAS", "0")
-    if pallas_env == "1":
+    # default "": model default ("auto" -> v3 on TPU); "0"/"off": explicit
+    # XLA cm baseline for A/B runs
+    pallas_env = os.environ.get("GRLIR_BENCH_PALLAS", "")
+    if pallas_env in ("0", "off"):
+        cfg = replace(cfg, use_pallas_attention=False)
+    elif pallas_env == "1":
         cfg = replace(cfg, use_pallas_attention=True)
     elif pallas_env in ("window", "stripe", "v3"):
         cfg = replace(cfg, use_pallas_attention=pallas_env)

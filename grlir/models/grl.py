@@ -36,6 +36,14 @@ Size2 = Tuple[int, int]
 RGB_MEAN = (0.4488, 0.4371, 0.4040)
 
 
+def resolve_pallas_mode(mode):
+    """'auto' -> 'v3' on TPU (measured whole-model win, tools/bench_v3.py),
+    False elsewhere (CPU runs Pallas in slow interpret mode)."""
+    if mode == "auto":
+        return "v3" if jax.default_backend() == "tpu" else False
+    return mode
+
+
 @dataclass(frozen=True)
 class GRLConfig:
     """Static hyperparameters of a GRL network (grl.py:220-256)."""
@@ -75,9 +83,13 @@ class GRLConfig:
     pretrained_window_size: Tuple[int, int] = (0, 0)
     pretrained_stripe_size: Tuple[int, int] = (0, 0)
     # fused Pallas attention kernels (forward/inference path; TPU only):
-    # False | True (both halves) | "window" (window half only; the stripe
-    # kernel loses to XLA at stripe shapes — see ops/pallas/attention.py)
-    use_pallas_attention: object = False
+    # "auto" | False | True (both halves) | "window" | "stripe" | "v3".
+    # "auto" (default) resolves to "v3" on TPU backends — measured whole-model
+    # win on hardware (GRL-S x4 bf16: 2.73->3.09 MP/s at 256², 2.44->3.04 at
+    # 384²; tools/bench_v3.py) with VMEM-guarded fallback to the XLA cm path
+    # at unsupported geometries — and to False elsewhere (CPU would run the
+    # kernels in slow interpret mode).
+    use_pallas_attention: object = "auto"
     # Attention operand layout.  "dn" (default) keeps attention operands
     # token-minor (B, nW, h, d, N) and — critically — splits heads AFTER a
     # channel-major transpose, so no intermediate ever has trailing dims
@@ -232,7 +244,7 @@ class TransformerStage(nn.Module):
                 euclidean_dist=cfg.euclidean_dist,
                 double_window=cfg.double_window,
                 stripe_square=cfg.stripe_square,
-                use_pallas=cfg.use_pallas_attention,
+                use_pallas=resolve_pallas_mode(cfg.use_pallas_attention),
                 d_major=cfg.attn_layout == "dn",
                 attn_io=cfg.attn_io,
                 out_proj_type=cfg.out_proj_type,

@@ -55,11 +55,12 @@ def main(argv=None):
                          "dispatch (whole-image mode)")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
-    ap.add_argument("--pallas", default="off",
-                    choices=["off", "on", "window", "stripe", "v3"],
-                    help="opt-in Pallas attention engines (v3 = whole-"
-                         "block-half kernels; unsupported geometries fall "
-                         "back to XLA automatically)")
+    ap.add_argument("--pallas", default="auto",
+                    choices=["auto", "off", "on", "window", "stripe", "v3"],
+                    help="Pallas attention engines (auto = v3 on TPU, off "
+                         "elsewhere; v3 = whole-block-half kernels; "
+                         "unsupported geometries fall back to XLA "
+                         "automatically)")
     args = ap.parse_args(argv)
 
     import cv2
@@ -75,9 +76,8 @@ def main(argv=None):
 
     cfg = zoo.make_config(args.model, task=args.task, upscale=args.scale)
     cfg = replace(cfg, dtype=args.dtype)
-    if args.pallas != "off":
-        cfg = replace(cfg, use_pallas_attention=(
-            True if args.pallas == "on" else args.pallas))
+    cfg = replace(cfg, use_pallas_attention=(
+        {"off": False, "on": True}.get(args.pallas, args.pallas)))
     model = GRL(cfg)
     template = jax.eval_shape(
         model.init, jax.random.PRNGKey(0),

@@ -70,13 +70,28 @@ def _auto_pack_w(W: int, window: Size2) -> int:
 _BIAS_VMEM_BUDGET = 4 * 1024 * 1024
 
 
+# Large-window path (N >= _LARGE_N): pack_w=1 (the window alone fills the
+# lanes), bias resident in bf16, attention q-row-tiled so the (h, PN, PN)
+# fp32 matrix never exists.  Covers GRL-base w32 (N=1024, bias 6.3 MB bf16).
+_LARGE_N = 512
+_LARGE_BIAS_BUDGET = 8 * 1024 * 1024
+
+
+def _bias_bytes(PN: int, num_heads: int) -> int:
+    itemsize = 2 if PN > _LARGE_N else 4
+    return num_heads * PN * PN * itemsize
+
+
 def window_half_supported(x_size: Size2, window: Size2, num_heads: int) -> bool:
     """Static guard: can fused_window_half hold this geometry in VMEM?"""
     H, W = x_size
     wh, ww = window
     if H % wh or W % ww:
         return False
-    PN = _auto_pack_w(W, window) * wh * ww
+    N = wh * ww
+    if N > _LARGE_N:
+        return _bias_bytes(N, num_heads) <= _LARGE_BIAS_BUDGET
+    PN = _auto_pack_w(W, window) * N
     return num_heads * PN * PN * 4 <= _BIAS_VMEM_BUDGET
 
 
@@ -104,6 +119,9 @@ def pack_window_bias(bias, window: Size2, pack_w: int, out_dtype=jnp.float32):
     h, N, _ = bias.shape
     wh, ww = window
     P = pack_w
+    if P == 1:
+        # unpacked: raster order IS window token order — identity permutation
+        return bias.astype(out_dtype)
     PN = P * N
     n = np.arange(PN)
     r, c = n // (P * ww), n % (P * ww)
@@ -135,7 +153,7 @@ def raster_bands(bands, x_size: Size2, window: Size2, pack_w: int):
 def _window_block_kernel(x_ref, w_ref, b_ref, scale_ref, bias_ref,
                          *rest, num_heads: int, n_groups: int,
                          window: Size2, pack_w: int, has_bands: bool,
-                         mm=jnp.bfloat16):
+                         q_tile: int = 0, mm=jnp.bfloat16):
     if has_bands:
         bands_ref, o_ref = rest
     else:
@@ -152,7 +170,7 @@ def _window_block_kernel(x_ref, w_ref, b_ref, scale_ref, bias_ref,
     w = w_ref[...]                # (C, 3Cw) bf16
     bvec = b_ref[...]             # (1, 3Cw) fp32 (or zeros)
     scale = scale_ref[...].reshape(1, h, 1, 1)
-    bias = bias_ref[...]          # (h, PN, PN) fp32 (block-diag folded in)
+    bias = bias_ref[...]          # (h, PN, PN) (block-diag folded in)
 
     for g in range(n_groups):     # static unroll: slices stay static
         xg = xb[:, g * GW:(g + 1) * GW, :].reshape(PN, -1)
@@ -167,32 +185,51 @@ def _window_block_kernel(x_ref, w_ref, b_ref, scale_ref, bias_ref,
             jnp.maximum(jnp.sum(q * q, 1, keepdims=True), 1e-24))
         kn = k * jax.lax.rsqrt(
             jnp.maximum(jnp.sum(k * k, 1, keepdims=True), 1e-24))
-        attn = jax.lax.dot_general(
-            qn.astype(mm), kn.astype(mm),
-            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                          # (h, PN, PN)
-        attn = attn * scale[0] + bias
-        if has_bands:
-            bg = bands_ref[0, 0, g]          # (PN,) int32
-            attn = attn + jnp.where(bg[None, None, :] != bg[None, :, None],
-                                    -100.0, 0.0)
-        attn = jax.nn.softmax(attn, axis=-1).astype(mm)
-        # per-head AV emits (PN, d) DIRECTLY (tokens-major), so the NHWC
-        # write needs no transpose; heads concat on the lane axis.  (An
-        # MXU eye-transpose here cost more FLOPs than the attention.)
+        bg = bands_ref[0, 0, g] if has_bands else None   # (PN,) int32
         vb = v.astype(mm)
-        heads = [
-            jax.lax.dot_general(
-                attn[i], vb[i],
-                dimension_numbers=(((1,), (1,)), ((), ())),
+        knb = kn.astype(mm)
+
+        def _attend(qt, bias_rows, bg_rows):
+            """One q-tile: (h, d, Nq) queries vs the full window's k/v."""
+            attn = jax.lax.dot_general(
+                qt.astype(mm), knb,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )                      # (PN, d)
-            for i in range(h)
-        ]
-        yt = jnp.concatenate(heads, axis=-1)  # (PN, Cw)
-        o_ref[0, :, g * GW:(g + 1) * GW, :] = (
-            yt.reshape(wh, GW, Cw).astype(o_ref.dtype))
+            )                      # (h, Nq, PN)
+            attn = attn * scale[0] + bias_rows
+            if bg_rows is not None:
+                attn = attn + jnp.where(
+                    bg[None, None, :] != bg_rows[None, :, None], -100.0, 0.0)
+            attn = jax.nn.softmax(attn, axis=-1).astype(mm)
+            # per-head AV emits (Nq, d) DIRECTLY (tokens-major), so the NHWC
+            # write needs no transpose; heads concat on the lane axis.  (An
+            # MXU eye-transpose here cost more FLOPs than the attention.)
+            return jnp.concatenate([
+                jax.lax.dot_general(
+                    attn[i], vb[i],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                  # (Nq, d)
+                for i in range(h)
+            ], axis=-1)            # (Nq, Cw)
+
+        if not q_tile:
+            yt = _attend(qn, bias, bg)
+            o_ref[0, :, g * GW:(g + 1) * GW, :] = (
+                yt.reshape(wh, GW, Cw).astype(o_ref.dtype))
+        else:
+            # large-window path (GRL-base w32: PN=1024): the (h, PN, PN)
+            # fp32 attention never fits VMEM next to the bias — walk q in
+            # row tiles against the full resident k/v.  q_tile is a
+            # multiple of GW, so each tile writes whole raster rows.
+            rows = q_tile // GW
+            for qi in range(PN // q_tile):
+                sl = slice(qi * q_tile, (qi + 1) * q_tile)
+                yt = _attend(qn[:, :, sl], bias[:, sl, :],
+                             bg[sl] if has_bands else None)
+                o_ref[0, qi * rows:(qi + 1) * rows,
+                      g * GW:(g + 1) * GW, :] = (
+                    yt.reshape(rows, GW, Cw).astype(o_ref.dtype))
 
 
 def fused_window_half(x, wqkv, bqkv, logit_scale, bias, window: Size2,
@@ -214,24 +251,37 @@ def fused_window_half(x, wqkv, bqkv, logit_scale, bias, window: Size2,
     C3 = wqkv.shape[1]
     Cw = C3 // 3
     h = logit_scale.shape[0]
+    N = wh * ww
+    large = N > _LARGE_N
     if pack_w is None:
-        pack_w = _auto_pack_w(W, window)
+        pack_w = 1 if large else _auto_pack_w(W, window)
     PN = pack_w * wh * ww
     GW = pack_w * ww
     nGx = W // GW
+    # large windows: q-row tiles sized to ~1.5 MB of fp32 attention
+    q_tile = 0
+    if large:
+        q_tile = max(GW, (2 * 1024 * 1024 // (4 * h * PN)) // GW * GW)
+        while PN % q_tile:
+            q_tile -= GW
     if groups_per_step is None:
-        # VMEM: x block + out block + per-group fp32 intermediates
-        per_group = 4 * (2 * C3 * PN + (h + 1) * PN * PN + PN * C)
-        blk = 2 * (wh * GW * C + wh * GW * Cw) * x.dtype.itemsize
-        groups_per_step = max(1, min(nGx,
-                              (10 * 1024 * 1024 - per_group) // max(blk, 1)))
-        while nGx % groups_per_step:
-            groups_per_step -= 1
+        if large:
+            groups_per_step = 1
+        else:
+            # VMEM: x block + out block + per-group fp32 intermediates
+            per_group = 4 * (2 * C3 * PN + (h + 1) * PN * PN + PN * C)
+            blk = 2 * (wh * GW * C + wh * GW * Cw) * x.dtype.itemsize
+            groups_per_step = max(1, min(nGx,
+                                  (10 * 1024 * 1024 - per_group) // max(blk, 1)))
+            while nGx % groups_per_step:
+                groups_per_step -= 1
     nG = groups_per_step
     grid = (B, H // wh, nGx // nG)
 
     scale = jnp.exp(jnp.minimum(logit_scale, math.log(100.0))).reshape(h, 1)
-    bias_packed = pack_window_bias(bias, window, pack_w)
+    bias_packed = pack_window_bias(
+        bias, window, pack_w,
+        out_dtype=jnp.bfloat16 if large else jnp.float32)
     bq = (jnp.zeros((1, C3), jnp.float32) if bqkv is None
           else bqkv.reshape(1, C3).astype(jnp.float32))
 
@@ -259,7 +309,7 @@ def fused_window_half(x, wqkv, bqkv, logit_scale, bias, window: Size2,
 
     kernel = functools.partial(
         _window_block_kernel, num_heads=h, n_groups=nG, window=window,
-        pack_w=pack_w, has_bands=has_bands, mm=mm)
+        pack_w=pack_w, has_bands=has_bands, q_tile=q_tile, mm=mm)
     return pl.pallas_call(
         kernel,
         grid=grid,

@@ -73,6 +73,49 @@ def test_window_half_matches_xla(data, shifted):
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("shifted", [False, True])
+def test_window_half_large_window_matches_xla(shifted):
+    """Large-window path (GRL-base w32): pack_w=1, bf16 resident bias,
+    q-row-tiled attention.  N=1024 > _LARGE_N triggers it."""
+    from grlir.ops.layout import window_partition_cm, window_reverse_cm
+
+    rng = np.random.default_rng(2)
+    Hb = Wb = 32
+    whb = wwb = 32                       # one 32x32 window: N = 1024
+    Nb, Cb, Cwb, hb = whb * wwb, 32, 16, 2
+    x = rng.standard_normal((1, Hb, Wb, Cb)).astype(np.float32)
+    wqkv = (rng.standard_normal((Cb, 3 * Cwb)) * 0.05).astype(np.float32)
+    bqkv = (rng.standard_normal(3 * Cwb) * 0.05).astype(np.float32)
+    logit_scale = jnp.full((hb, 1, 1), math.log(10.0), jnp.float32)
+    # the large path stores the bias bf16 (the XLA cm path's bias output is
+    # bf16 too — round-2 adopted numerics); pre-round the reference's copy
+    bias = jnp.asarray(rng.standard_normal((hb, Nb, Nb)) * 0.1,
+                       jnp.bfloat16).astype(jnp.float32)
+    bands = None
+    if shifted:
+        bands = jnp.asarray(rng.integers(0, 3, (1, Nb)), jnp.int32)
+
+    xw = window_partition_cm(jnp.asarray(x), (whb, wwb))
+    qkv = (jnp.einsum("ck,bwcn->bwkn", jnp.asarray(wqkv), xw)
+           + bqkv[None, None, :, None])
+    Bq, nW, _, N_ = qkv.shape
+    q, k, v = (qkv[:, :, i * Cwb:(i + 1) * Cwb].reshape(
+        Bq, nW, hb, Cwb // hb, N_) for i in range(3))
+    attn = jnp.einsum("bwhdn,bwhdm->bwhnm", _norm(q), _norm(k))
+    attn = attn * jnp.exp(logit_scale)[None, None] + bias[None, None]
+    if bands is not None:
+        m = jnp.where(bands[:, None, :] != bands[:, :, None], -100.0, 0.0)
+        attn = attn + m[None, :, None]
+    attn = jax.nn.softmax(attn, axis=-1)
+    y = jnp.einsum("bwhnm,bwhdm->bwhdn", attn, v).reshape(Bq, nW, Cwb, N_)
+    want = np.asarray(window_reverse_cm(y, (whb, wwb), (Hb, Wb)))
+
+    got = np.asarray(fused_window_half(
+        jnp.asarray(x), jnp.asarray(wqkv), jnp.asarray(bqkv), logit_scale,
+        bias, (whb, wwb), bands=bands, interpret=True))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
 def _ref_stripe(d, anchor, stripe, df, ls1, ls2, b1, b2,
                 bands=None, bands_a=None):
     sh, sw = stripe

@@ -47,12 +47,14 @@ def main():
     )
     if os.environ.get("GRLIR_TILE_IO"):
         cfg = replace(cfg, attn_io=os.environ["GRLIR_TILE_IO"])
+    # "" keeps the model default ("auto" -> v3 on TPU); "off" forces XLA
     pl = os.environ.get("GRLIR_TILE_PALLAS", "")
     if pl:
         cfg = replace(
             cfg,
-            use_pallas_attention=pl if pl in ("window", "stripe", "v3")
-            else True)
+            use_pallas_attention=(
+                pl if pl in ("window", "stripe", "v3") else
+                False if pl in ("off", "0") else True))
     if os.environ.get("GRLIR_TILE_BIAS") == "pairflat":
         from grlir.models.blocks import set_bias_pair_flat
 

@@ -103,6 +103,7 @@ def load_sums(path: str) -> dict:
 
 
 def save_sums(path: str, sums: dict):
+    os.makedirs(osp.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
         for name in sorted(sums):
             f.write(f"{sums[name]}  {name}\n")

@@ -276,7 +276,6 @@ def fused_window_half(x, wqkv, bqkv, logit_scale, bias, window: Size2,
             while nGx % groups_per_step:
                 groups_per_step -= 1
     nG = groups_per_step
-    grid = (B, H // wh, nGx // nG)
 
     scale = jnp.exp(jnp.minimum(logit_scale, math.log(100.0))).reshape(h, 1)
     bias_packed = pack_window_bias(
@@ -285,6 +284,31 @@ def fused_window_half(x, wqkv, bqkv, logit_scale, bias, window: Size2,
     bq = (jnp.zeros((1, C3), jnp.float32) if bqkv is None
           else bqkv.reshape(1, C3).astype(jnp.float32))
 
+    has_bands = bands is not None
+    if has_bands:
+        br = raster_bands(bands, (H, W), window, pack_w).astype(jnp.int32)
+        br = br.reshape(H // wh, nGx // nG, nG, PN)
+    f = _window_half_fn(window, pack_w, nG, q_tile, has_bands,
+                        str(mm.__name__), interpret,
+                        str(jnp.dtype(x.dtype).name))
+    if has_bands:
+        return f(x, wqkv.astype(mm), bq, scale, bias_packed, br)
+    return f(x, wqkv.astype(mm), bq, scale, bias_packed)
+
+
+def _window_half_kernel_call(args, *, window, pack_w, nG, q_tile, has_bands,
+                             mm, interpret, out_dtype):
+    """Build + invoke the pallas_call for one static window geometry."""
+    x = args[0]
+    wh, ww = window
+    B, H, W, C = x.shape
+    C3 = args[1].shape[1]
+    Cw = C3 // 3
+    h = args[3].shape[0]
+    GW = pack_w * ww
+    PN = wh * GW
+    nGx = W // GW
+    grid = (B, H // wh, nGx // nG)
     in_specs = [
         pl.BlockSpec((1, wh, nG * GW, C), lambda b, i, j: (b, i, j, 0),
                      memory_space=pltpu.VMEM),
@@ -297,16 +321,10 @@ def fused_window_half(x, wqkv, bqkv, logit_scale, bias, window: Size2,
         pl.BlockSpec((h, PN, PN), lambda b, i, j: (0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    args = [x, wqkv.astype(mm), bq, scale, bias_packed]
-    has_bands = bands is not None
     if has_bands:
-        br = raster_bands(bands, (H, W), window, pack_w).astype(jnp.int32)
-        br = br.reshape(H // wh, nGx // nG, nG, PN)
         in_specs.append(
             pl.BlockSpec((1, 1, nG, PN), lambda b, i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM))
-        args.append(br)
-
     kernel = functools.partial(
         _window_block_kernel, num_heads=h, n_groups=nG, window=window,
         pack_w=pack_w, has_bands=has_bands, q_tile=q_tile, mm=mm)
@@ -317,9 +335,86 @@ def fused_window_half(x, wqkv, bqkv, logit_scale, bias, window: Size2,
         out_specs=pl.BlockSpec((1, wh, nG * GW, Cw),
                                lambda b, i, j: (b, i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, Cw), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Cw), out_dtype),
         interpret=interpret,
     )(*args)
+
+
+def _window_half_ref_xla(args, *, window, pack_w, has_bands, mm, out_dtype):
+    """Pure-XLA twin of the window kernel on the SAME boundary operands.
+
+    Used as the recompute-in-backward body of the custom VJP (the design
+    doc's training plan): gradients of the kernel are the gradients of this
+    function — same math, same bf16 matmul / fp32 softmax discipline.
+    """
+    if has_bands:
+        x, w, bq, scale, bias, br = args
+    else:
+        x, w, bq, scale, bias = args
+    wh, ww = window
+    B, H, W, C = x.shape
+    C3 = w.shape[1]
+    Cw = C3 // 3
+    h = scale.shape[0]
+    GW = pack_w * ww
+    PN = wh * GW
+    nbh, nbw = H // wh, W // GW
+    d = Cw // h
+    xg = x.reshape(B, nbh, wh, nbw, GW, C).transpose(0, 1, 3, 2, 4, 5)
+    xg = xg.reshape(B, nbh, nbw, PN, C)
+    qkvT = jnp.einsum("ck,bijnc->bijkn", w, xg,
+                      preferred_element_type=jnp.float32)
+    qkvT = qkvT + bq.reshape(1, 1, 1, C3, 1)
+    qkv = qkvT.reshape(B, nbh, nbw, 3, h, d, PN)
+    q, k, v = qkv[..., 0, :, :, :], qkv[..., 1, :, :, :], qkv[..., 2, :, :, :]
+
+    def norm(t):
+        return t * jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(t * t, -2, keepdims=True), 1e-24))
+
+    attn = jnp.einsum("...hdn,...hdm->...hnm", norm(q).astype(mm),
+                      norm(k).astype(mm),
+                      preferred_element_type=jnp.float32)
+    attn = attn * scale.reshape(h, 1, 1) + bias.astype(jnp.float32)
+    if has_bands:
+        bg = br.reshape(nbh, nbw, PN)
+        m = jnp.where(bg[:, :, None, :] != bg[:, :, :, None],
+                      -100.0, 0.0)               # (nbh, nbw, PN, PN)
+        attn = attn + m[None, :, :, None, :, :]  # align (B, ..., h, PN, PN)
+    attn = jax.nn.softmax(attn, axis=-1).astype(mm)
+    y = jnp.einsum("...hnm,...hdm->...nhd", attn, v.astype(mm),
+                   preferred_element_type=jnp.float32)
+    y = y.reshape(B, nbh, nbw, wh, GW, Cw).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(B, H, W, Cw).astype(out_dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _window_half_fn(window, pack_w, nG, q_tile, has_bands, mm_name,
+                    interpret, out_dtype_name):
+    """custom_vjp wrapper: Pallas kernel forward, pure-XLA recompute backward
+    (pallas_call has no autodiff rule; without this, jax.grad through a
+    v3-engaged model — GAN generator on TPU, cm-io training — crashes)."""
+    mm = jnp.dtype(mm_name).type if mm_name != "bfloat16" else jnp.bfloat16
+    out_dtype = jnp.dtype(out_dtype_name)
+    kw = dict(window=window, pack_w=pack_w, has_bands=has_bands, mm=mm,
+              out_dtype=out_dtype)
+
+    @jax.custom_vjp
+    def f(*args):
+        return _window_half_kernel_call(args, nG=nG, q_tile=q_tile,
+                                        interpret=interpret, **kw)
+
+    def fwd(*args):
+        return _window_half_kernel_call(args, nG=nG, q_tile=q_tile,
+                                        interpret=interpret, **kw), args
+
+    def bwd(res, g):
+        _, pullback = jax.vjp(
+            lambda *a: _window_half_ref_xla(a, **kw), *res)
+        return pullback(g)
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
 def _stripe_block_kernel(x_ref, a_ref, w_ref, b_ref, s1_ref, s2_ref,
@@ -464,41 +559,16 @@ def fused_stripe_half(x, anchor, wqkv, bqkv, logit_scale1, logit_scale2,
 
     a_tok = window_partition(anchor, (ah, aw))  # (B, nA, N2, Cs) row-major
     if horizontal:
-        grid = (B, nWy, nWx // nS)
-        xblk = (1, sh, nS * sw, C)
         a_tok = a_tok.reshape(B, nWy, nWx // nS, nS * N2, Cs)
-        oblk = (1, sh, nS * sw, Cs)
     else:
-        grid = (B, nWy // nS, nWx)
-        xblk = (1, nS * sh, sw, C)
         a_tok = a_tok.reshape(B, nWy // nS, nS, nWx, N2, Cs).transpose(
             0, 1, 3, 2, 4, 5).reshape(B, nWy // nS, nWx, nS * N2, Cs)
-        oblk = (1, nS * sh, sw, Cs)
-    ablk = (1, 1, 1, nS * N2, Cs)
-    a_index = lambda b, i, j: (b, i, j, 0, 0)
 
     s1 = jnp.exp(jnp.minimum(logit_scale1, math.log(100.0))).reshape(h, 1)
     s2 = jnp.exp(jnp.minimum(logit_scale2, math.log(100.0))).reshape(h, 1)
     bq = (jnp.zeros((1, C3), jnp.float32) if bqkv is None
           else bqkv.reshape(1, C3).astype(jnp.float32))
 
-    in_specs = [
-        pl.BlockSpec(xblk, lambda b, i, j: (b, i, j, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec(ablk, a_index, memory_space=pltpu.VMEM),
-        pl.BlockSpec((C, C3), lambda b, i, j: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, C3), lambda b, i, j: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((h, 1), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((h, 1), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((h, N2, N1), lambda b, i, j: (0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        # w2a bias transposed: the kernel computes attn2 transposed so its
-        # lanes stay at N1 (see _stripe_block_kernel)
-        pl.BlockSpec((h, N2, N1), lambda b, i, j: (0, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
     args = [x, a_tok, wqkv.astype(mm), bq, s1, s2,
             bias_a2w.astype(jnp.float32),
             jnp.swapaxes(bias_w2a, 1, 2).astype(jnp.float32)]
@@ -513,17 +583,62 @@ def fused_stripe_half(x, anchor, wqkv, bqkv, logit_scale1, logit_scale2,
         else:
             bsr = bands.reshape(nWy // nS, nS, nWx, N1).transpose(0, 2, 1, 3)
             bar = bands_a.reshape(nWy // nS, nS, nWx, N2).transpose(0, 2, 1, 3)
+        args += [bsr.astype(jnp.int32), bar.astype(jnp.int32)]
+
+    f = _stripe_half_fn(tuple(stripe), (ah, aw), nS, bool(horizontal),
+                        has_bands, str(mm.__name__), interpret,
+                        str(jnp.dtype(x.dtype).name))
+    return f(*args)
+
+
+def _stripe_half_kernel_call(args, *, stripe, anchor, nS, horizontal,
+                             has_bands, mm, interpret, out_dtype):
+    """Build + invoke the pallas_call for one static stripe geometry."""
+    x = args[0]
+    B, H, W, C = x.shape
+    sh, sw = stripe
+    ah, aw = anchor
+    N1, N2 = sh * sw, ah * aw
+    C3 = args[2].shape[1]
+    Cs = C3 // 3
+    h = args[4].shape[0]
+    nWy, nWx = H // sh, W // sw
+    if horizontal:
+        grid = (B, nWy, nWx // nS)
+        xblk = (1, sh, nS * sw, C)
+        oblk = (1, sh, nS * sw, Cs)
+    else:
+        grid = (B, nWy // nS, nWx)
+        xblk = (1, nS * sh, sw, C)
+        oblk = (1, nS * sh, sw, Cs)
+    in_specs = [
+        pl.BlockSpec(xblk, lambda b, i, j: (b, i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, nS * N2, Cs), lambda b, i, j: (b, i, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, C3), lambda b, i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C3), lambda b, i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, 1), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, 1), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, N2, N1), lambda b, i, j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        # w2a bias transposed: the kernel computes attn2 transposed so its
+        # lanes stay at N1 (see _stripe_block_kernel)
+        pl.BlockSpec((h, N2, N1), lambda b, i, j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_bands:
         in_specs.append(
             pl.BlockSpec((1, 1, nS, N1), lambda b, i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM))
         in_specs.append(
             pl.BlockSpec((1, 1, nS, N2), lambda b, i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM))
-        args += [bsr.astype(jnp.int32), bar.astype(jnp.int32)]
-
     kernel = functools.partial(_stripe_block_kernel, num_heads=h,
                                has_bands=has_bands, stripe=stripe,
-                               anchor_size=(ah, aw), n_stripes=nS,
+                               anchor_size=anchor, n_stripes=nS,
                                horizontal=horizontal, mm=mm)
     return pl.pallas_call(
         kernel,
@@ -531,6 +646,102 @@ def fused_stripe_half(x, anchor, wqkv, bqkv, logit_scale1, logit_scale2,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(oblk, lambda b, i, j: (b, i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, Cs), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Cs), out_dtype),
         interpret=interpret,
     )(*args)
+
+
+def _stripe_half_ref_xla(args, *, stripe, anchor, nS, horizontal, has_bands,
+                         mm, out_dtype):
+    """Pure-XLA twin of the stripe kernel on the SAME boundary operands
+    (recompute-in-backward body of the custom VJP)."""
+    if has_bands:
+        x, a_tok, w, bq, s1, s2, b1, b2t, bsr, bar = args
+    else:
+        x, a_tok, w, bq, s1, s2, b1, b2t = args
+    sh, sw = stripe
+    ah, aw = anchor
+    N1, N2 = sh * sw, ah * aw
+    B, H, W, C = x.shape
+    C3 = w.shape[1]
+    Cs = C3 // 3
+    h = s1.shape[0]
+    d = Cs // h
+    if horizontal:
+        gy, gx = H // sh, W // (nS * sw)
+        xg = x.reshape(B, gy, sh, gx, nS, sw, C).transpose(0, 1, 3, 4, 2, 5, 6)
+    else:
+        gy, gx = H // (nS * sh), W // sw
+        xg = x.reshape(B, gy, nS, sh, gx, sw, C).transpose(0, 1, 4, 2, 3, 5, 6)
+    xg = xg.reshape(B, gy, gx, nS, N1, C)
+    ag = a_tok.reshape(B, gy, gx, nS, N2, Cs)
+
+    qkvT = jnp.einsum("ck,bijsnc->bijskn", w, xg,
+                      preferred_element_type=jnp.float32)
+    qkvT = qkvT + bq.reshape(1, 1, 1, 1, C3, 1)
+    qkv = qkvT.reshape(B, gy, gx, nS, 3, h, d, N1)
+    q, k, v = (qkv[..., 0, :, :, :], qkv[..., 1, :, :, :],
+               qkv[..., 2, :, :, :])
+    aT = ag.swapaxes(-1, -2).reshape(B, gy, gx, nS, h, d, N2)
+
+    def norm(t):
+        return t * jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(t * t, -2, keepdims=True), 1e-24))
+
+    qn, kn, an = norm(q), norm(k), norm(aT.astype(jnp.float32))
+    if has_bands:
+        m = jnp.where(bar[..., :, None] != bsr[..., None, :],
+                      -100.0, 0.0)                 # (gy, gx, nS, N2, N1)
+        m = m[None, :, :, :, None, :, :]           # align (B,...,h,N2,N1)
+
+    attn1 = jnp.einsum("...hda,...hdk->...hak", an.astype(mm), kn.astype(mm),
+                       preferred_element_type=jnp.float32)
+    attn1 = attn1 * s1.reshape(h, 1, 1) + b1
+    if has_bands:
+        attn1 = attn1 + m
+    attn1 = jax.nn.softmax(attn1, axis=-1)
+    x1 = jnp.einsum("...hak,...hdk->...hda", attn1.astype(mm), v.astype(mm),
+                    preferred_element_type=jnp.float32)  # (h, d, N2)
+
+    attn2t = jnp.einsum("...hda,...hdk->...hak", an.astype(mm),
+                        qn.astype(mm), preferred_element_type=jnp.float32)
+    attn2t = attn2t * s2.reshape(h, 1, 1) + b2t
+    if has_bands:
+        attn2t = attn2t + m
+    attn2t = jax.nn.softmax(attn2t, axis=-2)
+    y = jnp.einsum("...hak,...hda->...khd", attn2t.astype(mm),
+                   x1.astype(mm), preferred_element_type=jnp.float32)
+    y = y.reshape(B, gy, gx, nS, N1, Cs)
+    if horizontal:
+        y = y.reshape(B, gy, gx, nS, sh, sw, Cs).transpose(
+            0, 1, 4, 2, 3, 5, 6).reshape(B, H, W, Cs)
+    else:
+        y = y.reshape(B, gy, gx, nS, sh, sw, Cs).transpose(
+            0, 1, 3, 4, 2, 5, 6).reshape(B, H, W, Cs)
+    return y.astype(out_dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _stripe_half_fn(stripe, anchor, nS, horizontal, has_bands, mm_name,
+                    interpret, out_dtype_name):
+    """custom_vjp wrapper: Pallas kernel forward, pure-XLA recompute backward
+    (see _window_half_fn)."""
+    mm = jnp.dtype(mm_name).type if mm_name != "bfloat16" else jnp.bfloat16
+    out_dtype = jnp.dtype(out_dtype_name)
+    kw = dict(stripe=stripe, anchor=anchor, nS=nS, horizontal=horizontal,
+              has_bands=has_bands, mm=mm, out_dtype=out_dtype)
+
+    @jax.custom_vjp
+    def f(*args):
+        return _stripe_half_kernel_call(args, interpret=interpret, **kw)
+
+    def fwd(*args):
+        return _stripe_half_kernel_call(args, interpret=interpret, **kw), args
+
+    def bwd(res, g):
+        _, pullback = jax.vjp(
+            lambda *a: _stripe_half_ref_xla(a, **kw), *res)
+        return pullback(g)
+
+    f.defvjp(fwd, bwd)
+    return f

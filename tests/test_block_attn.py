@@ -289,3 +289,43 @@ def test_model_level_v3_parity():
     got = np.asarray(
         GRL(replace(cfg, use_pallas_attention="v3")).apply(params, x))
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
+def test_model_level_v3_grad_parity():
+    """jax.grad through a v3-engaged model (custom VJP: kernel forward,
+    pure-XLA recompute backward) matches the XLA path's gradients.  Without
+    the custom VJP, differentiating through pallas_call crashes — the TPU
+    default is v3, so GAN generator training and cm-io training depend on
+    this (round-4 bench_notes caught the crash on hardware)."""
+    from dataclasses import replace
+
+    from grlir.models.grl import GRL, GRLConfig
+
+    cfg = GRLConfig(
+        embed_dim=32, upscale=1, upsampler="", depths=(2,),
+        num_heads_window=(2,), num_heads_stripe=(2,), window_size=8,
+        mlp_ratio=2, stripe_size=(8, None), stripe_groups=(None, 4),
+        stripe_shift=True, anchor_window_down_factor=4, drop_path_rate=0.0,
+    )
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((1, 32, 32, 3)), jnp.float32)
+    gt = jnp.asarray(rng.random((1, 32, 32, 3)), jnp.float32)
+    model = GRL(cfg)
+    model_v3 = GRL(replace(cfg, use_pallas_attention="v3"))
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    def loss(m, p):
+        return jnp.mean(jnp.abs(m.apply(p, x) - gt))
+
+    g_xla = jax.grad(lambda p: loss(model, p))(params)
+    g_v3 = jax.grad(lambda p: loss(model_v3, p))(params)
+    flat_x, _ = jax.tree_util.tree_flatten(g_xla)
+    flat_v, _ = jax.tree_util.tree_flatten(g_v3)
+    assert len(flat_x) == len(flat_v)
+    checked = 0
+    for a, b in zip(flat_x, flat_v):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, atol=5e-4 * scale, rtol=2e-3)
+        checked += 1
+    assert checked > 50, checked

@@ -141,8 +141,16 @@ def run_gan(cfg: dict, out_dir: str):
 
     mesh = make_mesh(cfg.get("num_devices"))
     state = create_gan_state(params_g, disc_vars, opt_g, opt_d)
+    # reference protocol (Lightning optimizer_idx loop: fresh G forward for
+    # the D step + 3 SN power iterations, base_gan.py:86-90) is the default;
+    # set engine.lightning_parity=false for the BasicSR-style single-forward
+    # step (~1.20x faster/step, measured — docs/PERF_ANALYSIS.md round 5)
+    lightning_parity = bool(eng.get("lightning_parity", True))
+    print(f"[grlir] GAN protocol: "
+          f"{'lightning-parity' if lightning_parity else 'single-forward'}")
     step = make_gan_train_step(generator, disc, opt_g, opt_d, gan_cfg,
-                               perceptual_fn=perceptual_fn, mesh=mesh)
+                               perceptual_fn=perceptual_fn, mesh=mesh,
+                               lightning_parity=lightning_parity)
 
     ckpt = CheckpointManager(
         osp.join(out_dir, "checkpoints"),

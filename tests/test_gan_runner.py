@@ -80,6 +80,8 @@ def test_bsr_gan_stage_end_to_end(bsr_data_root, tmp_path, capsys):
     assert "GAN: G=" in out            # both nets built
     assert "gan step 2/2" in out       # alternation ran
     assert "niqe=" in out              # GT-free validation computed
+    # reference Lightning protocol is the config default (base_gan.yaml)
+    assert "GAN protocol: lightning-parity" in out
     outdir = osp.join(str(tmp_path), "out", "gan_it", "version_0")
     assert os.listdir(osp.join(outdir, "checkpoints"))  # best-niqe ckpt saved
 
@@ -118,6 +120,7 @@ def test_bsr_two_stage_handoff(bsr_data_root, tmp_path, capsys):
         "model.model_g.local_connection=false",
         "model.model_d.num_feat=16",
         f"engine.bsr_psnr_checkpoint={stage1_ckpts}",
+        "engine.lightning_parity=false",
         "patch_size=16", "batch_size=2", "remat=false",
         "trainer.max_steps=1", "trainer.val_check_interval=1",
         "trainer.log_every_n_steps=1", "num_workers=1", "num_devices=1",
@@ -125,3 +128,5 @@ def test_bsr_two_stage_handoff(bsr_data_root, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "loaded PSNR generator" in out
     assert "niqe=" in out
+    # the BasicSR-style protocol stays selectable from config
+    assert "GAN protocol: single-forward" in out

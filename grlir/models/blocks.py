@@ -109,6 +109,37 @@ class PermutedOutConv(nn.Module):
         return y + bp.astype(dt)
 
 
+class CMajorOutConv(nn.Module):
+    """3x3 SAME conv that EMITS channel-major (N, C, H, W).
+
+    Params are bit-identical to conv2d's nn.Conv (HWIO kernel + bias at the
+    same param paths), so checkpoints convert unchanged; only the output
+    dimension order differs.  Used for the RGB tail at full ×4 resolution:
+    an NHWC C=3-minor output pads 43x under the TPU's (sublane, 128-lane)
+    tiling (~0.5 GB padded for a 6 MB logical tensor at 1024²), while the
+    channel-major form's trailing dims are (H, W) — zero padding.  The
+    logical NHWC transpose happens after the cheap fp32 epilogue and fuses
+    into the consumer (post-v3 HLO audit, docs/PERF_ANALYSIS.md round 5)."""
+
+    features: int
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        fan_in = in_ch * 9
+        k = self.param("kernel", conv_kernel_init,
+                       (3, 3, in_ch, self.features))
+        b = self.param("bias", _conv_bias_init(fan_in), (self.features,))
+        dt = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dt), k.astype(dt), window_strides=(1, 1),
+            padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NCHW"),
+        )
+        return y + b.astype(dt).reshape(1, -1, 1, 1)
+
+
 def dense(x, features: int, use_bias: bool = True, *, name: str, dtype=None):
     """Linear with the reference's trunc-normal(0.02)/zero-bias init."""
     return nn.Dense(
@@ -496,14 +527,14 @@ class WindowAttention(nn.Module):
         B, H, W, _ = x.shape
         h = self.num_heads
         shift = self.window_size[0] // 2 if self.window_shift else 0
-        if shift > 0:
-            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
         if self.use_pallas == "v3":
             # v3 whole-half kernel: qkv + partition + attention + reverse all
             # inside one pallas_call; x goes in NHWC, y comes out NHWC
-            # (ops/pallas/block_attn.py).  Only the roll stays outside.
-            # Geometries whose packed bias exceeds VMEM (GRL-base w32)
-            # fall through to the XLA cm path below.
+            # (ops/pallas/block_attn.py).  The input roll moves INTO the
+            # kernel too (stitched half-window row reads + column rotate);
+            # only the output un-roll stays outside.  Geometries whose
+            # packed bias exceeds VMEM (GRL-base w32) fall through to the
+            # XLA cm path below.
             from grlir.ops.pallas.block_attn import (fused_window_half,
                                                      window_half_supported)
 
@@ -517,10 +548,13 @@ class WindowAttention(nn.Module):
                     x, wqkv, bqkv, transform.logit_scale,
                     transform.bias(table, index, factors),
                     tuple(self.window_size),
-                    bands=bands if self.window_shift else None)
+                    bands=bands if self.window_shift else None,
+                    shift=shift)
                 if shift > 0:
                     y = jnp.roll(y, (shift, shift), axis=(1, 2))
                 return y
+        if shift > 0:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
         # v3 geometries that failed the VMEM guard run plain XLA, not the
         # v1/v2/flash engines (those lose at exactly the large-N geometries
         # the guard rejects — PERF_ANALYSIS.md)

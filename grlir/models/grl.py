@@ -20,6 +20,7 @@ import numpy as np
 from flax import linen as nn
 
 from grlir.models.blocks import (
+    CMajorOutConv,
     EfficientMixAttnTransformerBlock,
     PermutedOutConv,
     conv2d,
@@ -36,11 +37,21 @@ Size2 = Tuple[int, int]
 RGB_MEAN = (0.4488, 0.4371, 0.4040)
 
 
-def resolve_pallas_mode(mode):
-    """'auto' -> 'v3' on TPU (measured whole-model win, tools/bench_v3.py),
-    False elsewhere (CPU runs Pallas in slow interpret mode)."""
+def resolve_pallas_mode(mode, deterministic: bool = True):
+    """'auto' -> 'v3' on TPU inference, False everywhere else.
+
+    Inference (deterministic=True): 'v3' is a measured whole-model win on
+    TPU hardware (tools/bench_v3.py), False off-TPU (CPU runs Pallas in slow
+    interpret mode).  Training (deterministic=False): the v3 custom VJP
+    recomputes the full XLA forward inside the backward
+    (ops/pallas/block_attn.py:_window_half_fn), so a v3 train step pays
+    v3-fwd + XLA-fwd + XLA-bwd — measured 46.6 vs 29.9 ms/step (GRL-S bs8,
+    round 4/5) — hence 'auto' resolves to False for training traces.
+    Explicit modes (True/'v3'/'window'/...) are always honored as given."""
     if mode == "auto":
-        return "v3" if jax.default_backend() == "tpu" else False
+        if deterministic and jax.default_backend() == "tpu":
+            return "v3"
+        return False
     return mode
 
 
@@ -84,11 +95,13 @@ class GRLConfig:
     pretrained_stripe_size: Tuple[int, int] = (0, 0)
     # fused Pallas attention kernels (forward/inference path; TPU only):
     # "auto" | False | True (both halves) | "window" | "stripe" | "v3".
-    # "auto" (default) resolves to "v3" on TPU backends — measured whole-model
-    # win on hardware (GRL-S x4 bf16: 2.73->3.09 MP/s at 256², 2.44->3.04 at
-    # 384²; tools/bench_v3.py) with VMEM-guarded fallback to the XLA cm path
-    # at unsupported geometries — and to False elsewhere (CPU would run the
-    # kernels in slow interpret mode).
+    # "auto" (default) resolves to "v3" on TPU backends for INFERENCE traces
+    # (deterministic=True) — measured whole-model win on hardware (GRL-S x4
+    # bf16: 2.73->3.09 MP/s at 256², 2.44->3.04 at 384²; tools/bench_v3.py)
+    # with VMEM-guarded fallback to the XLA cm path at unsupported
+    # geometries — and to False for training traces (the kernels' custom VJP
+    # recomputes the XLA forward in the backward; see resolve_pallas_mode)
+    # and off-TPU (interpret mode is slow).
     use_pallas_attention: object = "auto"
     # Attention operand layout.  "dn" (default) keeps attention operands
     # token-minor (B, nW, h, d, N) and — critically — splits heads AFTER a
@@ -108,6 +121,13 @@ class GRLConfig:
     # projections and the ablation attention branches.
     attn_io: str = "cm"  # "cm" | "legacy"
     num_out_feats: int = 64
+    # Physical layout of the upscaling tail's final conv.  "cmajor" emits
+    # conv_last channel-major ((N, C, 4H, 4W): trailing dims unpadded) and
+    # transposes logically at the very end — the NHWC C=3-minor form pads
+    # 43x under TPU lane tiling (~0.5 GB padded per 1024² frame, post-v3
+    # HLO audit).  Params and outputs are identical; only intermediate
+    # layout differs.  Applies to the pixelshuffle/nearest+conv tails.
+    tail_layout: str = "nhwc"  # "nhwc" | "cmajor"
     remat: bool = False  # jax.checkpoint each transformer block
     # jax.checkpoint policy when remat is on: None = recompute everything
     # ("nothing_saveable"); "dots" saves matmul outputs (recompute only the
@@ -244,7 +264,8 @@ class TransformerStage(nn.Module):
                 euclidean_dist=cfg.euclidean_dist,
                 double_window=cfg.double_window,
                 stripe_square=cfg.stripe_square,
-                use_pallas=resolve_pallas_mode(cfg.use_pallas_attention),
+                use_pallas=resolve_pallas_mode(cfg.use_pallas_attention,
+                                               deterministic),
                 d_major=cfg.attn_layout == "dn",
                 attn_io=cfg.attn_io,
                 out_proj_type=cfg.out_proj_type,
@@ -315,6 +336,7 @@ class GRL(nn.Module):
 
         out_ch = cfg.resolved_out_channels
         nf = cfg.num_out_feats
+        cmajor_out = False
 
         if cfg.upsampler == "pixelshuffle":
             x = conv2d(x, cfg.embed_dim, name="conv_first", dtype=cfg.compute_dtype)
@@ -335,7 +357,13 @@ class GRL(nn.Module):
                 x = pixel_shuffle_jic(x, 3)
             else:
                 raise ValueError(f"unsupported scale {scale}")
-            x = conv2d(x, out_ch, name="conv_last", dtype=cfg.compute_dtype)
+            if cfg.tail_layout == "cmajor":
+                x = CMajorOutConv(out_ch, dtype=cfg.compute_dtype,
+                                  name="conv_last")(x)
+                cmajor_out = True
+            else:
+                x = conv2d(x, out_ch, name="conv_last",
+                           dtype=cfg.compute_dtype)
         elif cfg.upsampler == "pixelshuffledirect":
             x = conv2d(x, cfg.embed_dim, name="conv_first", dtype=cfg.compute_dtype)
             x = body(x)
@@ -353,9 +381,13 @@ class GRL(nn.Module):
                 conv2d(nearest_upsample(x, 2), nf, name="conv_up1", dtype=cfg.compute_dtype), 0.2)
             x = nn.leaky_relu(
                 conv2d(nearest_upsample(x, 2), nf, name="conv_up2", dtype=cfg.compute_dtype), 0.2)
-            x = conv2d(
-                nn.leaky_relu(conv2d(x, nf, name="conv_hr", dtype=cfg.compute_dtype), 0.2),
-                out_ch, name="conv_last")
+            x = nn.leaky_relu(
+                conv2d(x, nf, name="conv_hr", dtype=cfg.compute_dtype), 0.2)
+            if cfg.tail_layout == "cmajor":
+                x = CMajorOutConv(out_ch, name="conv_last")(x)
+                cmajor_out = True
+            else:
+                x = conv2d(x, out_ch, name="conv_last")
         else:
             # denoising / JPEG artifact removal tail (grl.py:540-547)
             res = body(conv2d(x, cfg.embed_dim, name="conv_first", dtype=cfg.compute_dtype))
@@ -364,6 +396,15 @@ class GRL(nn.Module):
             else:
                 x = conv2d(res, out_ch, name="conv_last", dtype=cfg.compute_dtype)
 
+        if cmajor_out:
+            # fp32 epilogue in the unpadded channel-major layout; the final
+            # logical NHWC transpose fuses into the consumer (or becomes the
+            # jit output's layout — either way the padded NHWC form is never
+            # written at full resolution)
+            x = (x.astype(jnp.float32) / cfg.img_range
+                 + jnp.transpose(mean.astype(jnp.float32), (0, 3, 1, 2)))
+            x = x[:, :, : H * cfg.upscale, : W * cfg.upscale]
+            return jnp.transpose(x, (0, 2, 3, 1))
         x = x.astype(jnp.float32) / cfg.img_range + mean.astype(jnp.float32)
         return x[:, : H * cfg.upscale, : W * cfg.upscale, :]
 

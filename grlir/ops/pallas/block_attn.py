@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -95,16 +96,59 @@ def window_half_supported(x_size: Size2, window: Size2, num_heads: int) -> bool:
     return num_heads * PN * PN * 4 <= _BIAS_VMEM_BUDGET
 
 
+def _stripe_resident_supported(stripe: Size2, df: int, num_heads: int) -> bool:
+    sh, sw = stripe
+    N1 = sh * sw
+    N2 = (sh // df) * (sw // df)
+    return 2 * num_heads * N2 * N1 * 4 <= _BIAS_VMEM_BUDGET
+
+
+# Large-stripe path (GRL-base w32/df2 tiles: stripe 64x64, N1=4096, biases
+# ~50 MB each — nothing resident): two kernels that STREAM the bias in bf16
+# tiles along the axis the softmax does NOT reduce over, so no online
+# softmax is ever needed:
+#   a2w: grid walks N2 (anchor) tiles — softmax over N1 has full rows;
+#   w2a: grid walks N1 (token row-band) tiles — softmax over N2 has full
+#        columns.
+# Per-stripe k/v (a2w) and anchor (w2a) projections are computed once at
+# tile 0 into VMEM scratch; P stripes pack per grid step so each streamed
+# bias tile is reused P times.
+_STRIPE_ATTN_BUDGET = 4 * 1024 * 1024  # fp32 attention tile per step
+
+
+def _stripe_large_tiles(stripe: Size2, df: int, num_heads: int):
+    """(n2_tile, n1_tile) for the streamed-bias path, or None."""
+    sh, sw = stripe
+    N1 = sh * sw
+    N2 = (sh // df) * (sw // df)
+    n2t = min(N2, max(8, _STRIPE_ATTN_BUDGET // (4 * num_heads * N1)
+                      // 8 * 8))
+    while n2t >= 8 and N2 % n2t:
+        n2t -= 8
+    if n2t < 8 or num_heads * n2t * N1 * 4 > _STRIPE_ATTN_BUDGET:
+        return None
+    # n1t is a LANE (last) block dim of the streamed w2a bias/band tiles, so
+    # Mosaic requires it % 128 (or the full N1)
+    rows = max(1, _STRIPE_ATTN_BUDGET // (4 * num_heads * N2) // sw)
+    n1t = min(N1, rows * sw)
+    while n1t >= sw and (N1 % n1t or not (n1t % 128 == 0 or n1t == N1)):
+        n1t -= sw
+    if n1t < sw or num_heads * N2 * n1t * 4 > _STRIPE_ATTN_BUDGET:
+        return None
+    return n2t, n1t
+
+
 def stripe_half_supported(x_size: Size2, stripe: Size2, df: int,
                           num_heads: int) -> bool:
-    """Static guard for fused_stripe_half (biases are (h, N2, N1))."""
+    """Static guard for fused_stripe_half: resident-bias kernel (small
+    geometries) or streamed-bias large path (GRL-base tiles)."""
     H, W = x_size
     sh, sw = stripe
     if H % sh or W % sw or sh % df or sw % df:
         return False
-    N1 = sh * sw
-    N2 = (sh // df) * (sw // df)
-    return 2 * num_heads * N2 * N1 * 4 <= _BIAS_VMEM_BUDGET
+    if _stripe_resident_supported(stripe, df, num_heads):
+        return True
+    return _stripe_large_tiles(stripe, df, num_heads) is not None
 
 
 def pack_window_bias(bias, window: Size2, pack_w: int, out_dtype=jnp.float32):
@@ -150,10 +194,20 @@ def raster_bands(bands, x_size: Size2, window: Size2, pack_w: int):
     return b.reshape(nWy, nWx // pack_w, pack_w * wh * ww)
 
 
-def _window_block_kernel(x_ref, w_ref, b_ref, scale_ref, bias_ref,
-                         *rest, num_heads: int, n_groups: int,
+def _window_block_kernel(*refs, num_heads: int, n_groups: int,
                          window: Size2, pack_w: int, has_bands: bool,
-                         q_tile: int = 0, mm=jnp.bfloat16):
+                         q_tile: int = 0, row_steps: int = 1,
+                         shift: int = 0, interp: bool = False,
+                         mm=jnp.bfloat16):
+    if shift:
+        # in-kernel shift: x arrives UNROLLED as two half-window row bands
+        # (the same array under two BlockSpecs); stitch rows, rotate columns
+        # — the XLA-side roll copy (16 MB write+read per shifted half at
+        # GRL-S) never exists.
+        x1_ref, x2_ref, *refs = refs
+    else:
+        x_ref, *refs = refs
+    w_ref, b_ref, scale_ref, bias_ref, *rest = refs
     if has_bands:
         bands_ref, o_ref = rest
     else:
@@ -166,13 +220,35 @@ def _window_block_kernel(x_ref, w_ref, b_ref, scale_ref, bias_ref,
     Cw = C3 // 3
     d = Cw // h
 
-    xb = x_ref[0]                 # (wh, n_groups*GW, C)
     w = w_ref[...]                # (C, 3Cw) bf16
     bvec = b_ref[...]             # (1, 3Cw) fp32 (or zeros)
     scale = scale_ref[...].reshape(1, h, 1, 1)
     bias = bias_ref[...]          # (h, PN, PN) (block-diag folded in)
 
-    for g in range(n_groups):     # static unroll: slices stay static
+    if shift:
+        xr = jnp.concatenate([x1_ref[0], x2_ref[0]], axis=0)  # (wh, W, C)
+        # left-rotate columns by `shift` (pltpu.roll requires shift >= 0,
+        # same right-roll convention as jnp.roll)
+        if interp:
+            xfull = jnp.roll(xr, xr.shape[1] - shift, axis=1)
+        elif xr.dtype.itemsize == 4:
+            xfull = pltpu.roll(xr, xr.shape[1] - shift, axis=1)
+        else:
+            # Mosaic can't rotate 16-bit data; bitcast packs ADJACENT
+            # second-minor (W) pairs into one int32, so a roll by
+            # (W - shift)/2 int32 rows rotates the bf16 columns by
+            # W - shift (shift is even — guarded at the boundary)
+            xi = pltpu.bitcast(xr, jnp.int32)          # (wh, W/2, C)
+            xi = pltpu.roll(xi, (xr.shape[1] - shift) // 2, axis=1)
+            xfull = pltpu.bitcast(xi, xr.dtype)        # (wh, W, C)
+    else:
+        xfull = x_ref[0]
+
+    # static unrolls: all slices stay static.  row_steps window rows per
+    # grid step amortize the Mosaic per-step overhead (measured NEUTRAL at
+    # GRL-S — kept as an experiment knob, default 1)
+    for r, g in [(r, g) for r in range(row_steps) for g in range(n_groups)]:
+        xb = xfull[r * wh:(r + 1) * wh]       # (wh, n_groups*GW, C)
         xg = xb[:, g * GW:(g + 1) * GW, :].reshape(PN, -1)
         # qkv transposed: (3Cw, PN) — head split touches sublanes only
         qkvT = jax.lax.dot_general(
@@ -185,7 +261,7 @@ def _window_block_kernel(x_ref, w_ref, b_ref, scale_ref, bias_ref,
             jnp.maximum(jnp.sum(q * q, 1, keepdims=True), 1e-24))
         kn = k * jax.lax.rsqrt(
             jnp.maximum(jnp.sum(k * k, 1, keepdims=True), 1e-24))
-        bg = bands_ref[0, 0, g] if has_bands else None   # (PN,) int32
+        bg = bands_ref[0, r, 0, g] if has_bands else None   # (PN,) int32
         vb = v.astype(mm)
         knb = kn.astype(mm)
 
@@ -215,7 +291,7 @@ def _window_block_kernel(x_ref, w_ref, b_ref, scale_ref, bias_ref,
 
         if not q_tile:
             yt = _attend(qn, bias, bg)
-            o_ref[0, :, g * GW:(g + 1) * GW, :] = (
+            o_ref[0, r * wh:(r + 1) * wh, g * GW:(g + 1) * GW, :] = (
                 yt.reshape(wh, GW, Cw).astype(o_ref.dtype))
         else:
             # large-window path (GRL-base w32: PN=1024): the (h, PN, PN)
@@ -227,21 +303,30 @@ def _window_block_kernel(x_ref, w_ref, b_ref, scale_ref, bias_ref,
                 sl = slice(qi * q_tile, (qi + 1) * q_tile)
                 yt = _attend(qn[:, :, sl], bias[:, sl, :],
                              bg[sl] if has_bands else None)
-                o_ref[0, qi * rows:(qi + 1) * rows,
+                o_ref[0, r * wh + qi * rows:r * wh + (qi + 1) * rows,
                       g * GW:(g + 1) * GW, :] = (
                     yt.reshape(rows, GW, Cw).astype(o_ref.dtype))
 
 
 def fused_window_half(x, wqkv, bqkv, logit_scale, bias, window: Size2,
-                      bands=None, pack_w: Optional[int] = None,
+                      bands=None, shift: int = 0,
+                      pack_w: Optional[int] = None,
                       groups_per_step: Optional[int] = None,
-                      interpret: Optional[bool] = None):
+                      interpret: Optional[bool] = None,
+                      ref: bool = False):
     """Whole window-half: NHWC x -> NHWC attention output (pre-proj).
 
-    x: (B, H, W, C) (pre-rolled when shifted); wqkv: (C, 3Cw) this half's
-    projection slice; bqkv: (3Cw,) or None; bias: (h, N, N) fp32 from
-    AffineTransform.bias; bands: (nW, N) int32 shift band ids or None.
-    Returns y: (B, H, W, Cw).
+    x: (B, H, W, C); wqkv: (C, 3Cw) this half's projection slice; bqkv:
+    (3Cw,) or None; bias: (h, N, N) fp32 from AffineTransform.bias; bands:
+    (nW, N) int32 shift band ids or None.  shift: the cyclic window shift —
+    when given, x arrives UNROLLED and the kernel stitches the rolled view
+    in VMEM (two half-window row refs + a column rotate), so the roll copy
+    never hits HBM; geometries the in-kernel path can't serve fall back to
+    a jnp.roll here.  (The OUTPUT stays in rolled coordinates either way —
+    the caller un-rolls y exactly as with a pre-rolled x.)  Returns y:
+    (B, H, W, Cw).  ref=True runs the pure-XLA twin on the SAME prepared
+    boundary operands (device-parity certification, tools/bench_v3.py
+    parity stage).
     """
     if interpret is None:
         interpret = _interpret_default()
@@ -255,6 +340,10 @@ def fused_window_half(x, wqkv, bqkv, logit_scale, bias, window: Size2,
     large = N > _LARGE_N
     if pack_w is None:
         pack_w = 1 if large else _auto_pack_w(W, window)
+        env_p = int(os.environ.get("GRLIR_V3_PACKW", "0"))
+        if env_p and not large and W // ww >= env_p \
+                and (W // ww) % env_p == 0:
+            pack_w = env_p  # experiment knob: block-diag waste scales with P
     PN = pack_w * wh * ww
     GW = pack_w * ww
     nGx = W // GW
@@ -284,20 +373,56 @@ def fused_window_half(x, wqkv, bqkv, logit_scale, bias, window: Size2,
     bq = (jnp.zeros((1, C3), jnp.float32) if bqkv is None
           else bqkv.reshape(1, C3).astype(jnp.float32))
 
+    # window rows per grid step (experiment knob): packing R rows per step
+    # amortizes the Mosaic per-step overhead, but measured NEUTRAL at GRL-S
+    # (3.162 -> 3.18 MP/s whole-model for R=1 -> 4, within the variance
+    # band; PERF_ANALYSIS round 5) and R=8's larger blocks flirt with the
+    # 16 MB scoped-VMEM compile limit — so the default stays 1.
+    R = int(os.environ.get("GRLIR_V3_ROWS", "1"))
+    if large:
+        R = 1
+    R = max(1, min(R, H // wh))
+    while ((H // wh) % R
+           or R * wh * nG * GW * (C + Cw) * x.dtype.itemsize > 6 * 2**20):
+        R -= 1
+
+    # in-kernel shift: needs half-window row blocks (wh/2 rows each) and
+    # grid steps that span FULL feature rows (the column rotate wraps W)
+    ik_shift = 0
+    if shift:
+        s = int(shift)
+        if (not large and wh % s == 0 and wh // s == 2
+                and nG * GW == W and R == 1
+                and (x.dtype.itemsize == 4 or s % 2 == 0)):
+            ik_shift = s
+        else:
+            x = jnp.roll(x, (-s, -s), axis=(1, 2))
+
     has_bands = bands is not None
     if has_bands:
         br = raster_bands(bands, (H, W), window, pack_w).astype(jnp.int32)
-        br = br.reshape(H // wh, nGx // nG, nG, PN)
+        br = br.reshape(H // (R * wh), R, nGx // nG, nG, PN)
+    if ref:
+        xr = x if not ik_shift else jnp.roll(
+            x, (-ik_shift, -ik_shift), axis=(1, 2))
+        args = (xr, wqkv.astype(mm), bq, scale, bias_packed)
+        if has_bands:
+            args += (br.reshape(H // wh, nGx // nG, nG, PN),)
+        return _window_half_ref_xla(
+            args, window=window, pack_w=pack_w, has_bands=has_bands,
+            mm=mm, out_dtype=jnp.dtype(x.dtype))
     f = _window_half_fn(window, pack_w, nG, q_tile, has_bands,
                         str(mm.__name__), interpret,
-                        str(jnp.dtype(x.dtype).name))
+                        str(jnp.dtype(x.dtype).name), row_steps=R,
+                        shift=ik_shift)
     if has_bands:
         return f(x, wqkv.astype(mm), bq, scale, bias_packed, br)
     return f(x, wqkv.astype(mm), bq, scale, bias_packed)
 
 
 def _window_half_kernel_call(args, *, window, pack_w, nG, q_tile, has_bands,
-                             mm, interpret, out_dtype):
+                             mm, interpret, out_dtype, row_steps=1,
+                             shift=0):
     """Build + invoke the pallas_call for one static window geometry."""
     x = args[0]
     wh, ww = window
@@ -308,10 +433,29 @@ def _window_half_kernel_call(args, *, window, pack_w, nG, q_tile, has_bands,
     GW = pack_w * ww
     PN = wh * GW
     nGx = W // GW
-    grid = (B, H // wh, nGx // nG)
-    in_specs = [
-        pl.BlockSpec((1, wh, nG * GW, C), lambda b, i, j: (b, i, j, 0),
-                     memory_space=pltpu.VMEM),
+    R = row_steps
+    grid = (B, H // (R * wh), nGx // nG)
+    if shift:
+        # two half-window row views of the UNROLLED x: window row i of the
+        # rolled layout is x rows [i*wh+s, (i+1)*wh+s) mod H = half-blocks
+        # 2i+1 and (2i+2) % nB; the kernel stitches them and rotates columns
+        s = shift
+        nB = H // s
+        x_specs = [
+            pl.BlockSpec((1, s, nG * GW, C),
+                         lambda b, i, j: (b, 2 * i + 1, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, nG * GW, C),
+                         lambda b, i, j, nB=nB: (b, (2 * i + 2) % nB, j, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        x_specs = [
+            pl.BlockSpec((1, R * wh, nG * GW, C),
+                         lambda b, i, j: (b, i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    in_specs = x_specs + [
         pl.BlockSpec((C, C3), lambda b, i, j: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, C3), lambda b, i, j: (0, 0),
@@ -323,21 +467,23 @@ def _window_half_kernel_call(args, *, window, pack_w, nG, q_tile, has_bands,
     ]
     if has_bands:
         in_specs.append(
-            pl.BlockSpec((1, 1, nG, PN), lambda b, i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, R, 1, nG, PN), lambda b, i, j: (i, 0, j, 0, 0),
                          memory_space=pltpu.VMEM))
     kernel = functools.partial(
         _window_block_kernel, num_heads=h, n_groups=nG, window=window,
-        pack_w=pack_w, has_bands=has_bands, q_tile=q_tile, mm=mm)
+        pack_w=pack_w, has_bands=has_bands, q_tile=q_tile, row_steps=R,
+        shift=shift, interp=bool(interpret), mm=mm)
+    call_args = (args[0], *args) if shift else args
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, wh, nG * GW, Cw),
+        out_specs=pl.BlockSpec((1, R * wh, nG * GW, Cw),
                                lambda b, i, j: (b, i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, Cw), out_dtype),
         interpret=interpret,
-    )(*args)
+    )(*call_args)
 
 
 def _window_half_ref_xla(args, *, window, pack_w, has_bands, mm, out_dtype):
@@ -390,7 +536,7 @@ def _window_half_ref_xla(args, *, window, pack_w, has_bands, mm, out_dtype):
 
 @functools.lru_cache(maxsize=None)
 def _window_half_fn(window, pack_w, nG, q_tile, has_bands, mm_name,
-                    interpret, out_dtype_name):
+                    interpret, out_dtype_name, row_steps=1, shift=0):
     """custom_vjp wrapper: Pallas kernel forward, pure-XLA recompute backward
     (pallas_call has no autodiff rule; without this, jax.grad through a
     v3-engaged model — GAN generator on TPU, cm-io training — crashes)."""
@@ -402,15 +548,23 @@ def _window_half_fn(window, pack_w, nG, q_tile, has_bands, mm_name,
     @jax.custom_vjp
     def f(*args):
         return _window_half_kernel_call(args, nG=nG, q_tile=q_tile,
+                                        row_steps=row_steps, shift=shift,
                                         interpret=interpret, **kw)
 
     def fwd(*args):
         return _window_half_kernel_call(args, nG=nG, q_tile=q_tile,
+                                        row_steps=row_steps, shift=shift,
                                         interpret=interpret, **kw), args
 
     def bwd(res, g):
-        _, pullback = jax.vjp(
-            lambda *a: _window_half_ref_xla(a, **kw), *res)
+        def body(*a):
+            if shift:
+                # residual x is UNROLLED (in-kernel shift); the twin wants
+                # the rolled view — jnp.roll's VJP un-rolls the gradient
+                a = (jnp.roll(a[0], (-shift, -shift), axis=(1, 2)),) + a[1:]
+            return _window_half_ref_xla(a, **kw)
+
+        _, pullback = jax.vjp(body, *res)
         return pullback(g)
 
     f.defvjp(fwd, bwd)
@@ -525,12 +679,15 @@ def _stripe_block_kernel(x_ref, a_ref, w_ref, b_ref, s1_ref, s2_ref,
 def fused_stripe_half(x, anchor, wqkv, bqkv, logit_scale1, logit_scale2,
                       bias_a2w, bias_w2a, stripe: Size2, df: int,
                       bands=None, bands_a=None,
-                      interpret: Optional[bool] = None):
+                      interpret: Optional[bool] = None,
+                      ref: bool = False):
     """Whole anchored-stripe half: NHWC x + anchor -> NHWC output (pre-proj).
 
     x: (B, H, W, C) (pre-rolled when shifted); anchor: (B, H/df, W/df, Cs);
     wqkv: (C, 3Cs); biases fp32 (h, N2, N1) / (h, N1, N2); bands/bands_a:
-    (nW, N1)/(nW, N2) int32 or None.  Returns (B, H, W, Cs).
+    (nW, N1)/(nW, N2) int32 or None.  Returns (B, H, W, Cs).  ref=True runs
+    the pure-XLA twin on the SAME prepared boundary operands (device-parity
+    certification, tools/bench_v3.py parity stage).
     """
     if interpret is None:
         interpret = _interpret_default()
@@ -546,11 +703,15 @@ def fused_stripe_half(x, anchor, wqkv, bqkv, logit_scale1, logit_scale2,
     # pack several stripes per grid step (static in-kernel loop) so the
     # Mosaic per-step overhead amortizes; stripes extend along their long
     # axis, so packing walks the SHORT axis (cols for horizontal stripes)
-    horizontal = sw >= sh
-    n_packable = nWx if horizontal else nWy
-    nS = min(n_packable, max(1, 4096 // N1))
-    while n_packable % nS:
-        nS -= 1
+    large = not _stripe_resident_supported(tuple(stripe), df, h)
+    horizontal = True if large else sw >= sh
+    if large:
+        nS = 1  # the streamed-bias kernels pack stripes themselves
+    else:
+        n_packable = nWx if horizontal else nWy
+        nS = min(n_packable, max(1, 4096 // N1))
+        while n_packable % nS:
+            nS -= 1
     # anchor stripes are narrower than Mosaic's minimum sublane block (e.g.
     # aw=2 for vertical stripes): pre-partition anchor tokens per stripe so
     # the kernel takes static (N2, Cs) row slices.  Tiny copy: the anchor is
@@ -569,9 +730,13 @@ def fused_stripe_half(x, anchor, wqkv, bqkv, logit_scale1, logit_scale2,
     bq = (jnp.zeros((1, C3), jnp.float32) if bqkv is None
           else bqkv.reshape(1, C3).astype(jnp.float32))
 
+    # large path: biases stream from HBM per tile — store them at the matmul
+    # dtype (bf16 halves the dominant streamed traffic; device parity
+    # certified in tools/bench_v3.py stage parity)
+    bias_store = mm if large else jnp.float32
     args = [x, a_tok, wqkv.astype(mm), bq, s1, s2,
-            bias_a2w.astype(jnp.float32),
-            jnp.swapaxes(bias_w2a, 1, 2).astype(jnp.float32)]
+            bias_a2w.astype(bias_store),
+            jnp.swapaxes(bias_w2a, 1, 2).astype(bias_store)]
     has_bands = bands is not None
     assert (bands is None) == (bands_a is None), (bands, bands_a)
     if has_bands:
@@ -585,6 +750,22 @@ def fused_stripe_half(x, anchor, wqkv, bqkv, logit_scale1, logit_scale2,
             bar = bands_a.reshape(nWy // nS, nS, nWx, N2).transpose(0, 2, 1, 3)
         args += [bsr.astype(jnp.int32), bar.astype(jnp.int32)]
 
+    if ref:
+        return _stripe_half_ref_xla(
+            tuple(args), stripe=tuple(stripe), anchor=(ah, aw), nS=nS,
+            horizontal=bool(horizontal), has_bands=has_bands, mm=mm,
+            out_dtype=jnp.dtype(x.dtype))
+    if large:
+        n2t, n1t = _stripe_large_tiles(tuple(stripe), df, h)
+        P = 2 if nWx % 2 == 0 else 1
+        # VMEM guard on kernel A's per-step residents: x block + k/v scratch
+        while P > 1 and (P * sh * sw * C * x.dtype.itemsize
+                         + 2 * P * Cs * N1 * 2) > 8 * 1024 * 1024:
+            P -= 1
+        f = _stripe_half_large_fn(tuple(stripe), (ah, aw), P, n2t, n1t,
+                                  has_bands, str(mm.__name__), interpret,
+                                  str(jnp.dtype(x.dtype).name))
+        return f(*args)
     f = _stripe_half_fn(tuple(stripe), (ah, aw), nS, bool(horizontal),
                         has_bands, str(mm.__name__), interpret,
                         str(jnp.dtype(x.dtype).name))
@@ -741,6 +922,297 @@ def _stripe_half_fn(stripe, anchor, nS, horizontal, has_bands, mm_name,
     def bwd(res, g):
         _, pullback = jax.vjp(
             lambda *a: _stripe_half_ref_xla(a, **kw), *res)
+        return pullback(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+# ---------------------------------------------------------------------------
+# Large-stripe streamed-bias path (GRL-base w32/df2 eval tiles: stripe 64x64,
+# N1=4096, N2=1024 — biases ~50 MB/direction, nothing resident in VMEM).
+# Replaces the XLA fallback that kept the GRL-base tile at ~316 ms (round-4
+# verdict item 3).  Reference hot loop:
+# /root/reference/models/common/mixed_attn_block_efficient.py:128-270.
+# ---------------------------------------------------------------------------
+
+
+def _norm_rows(t):
+    return t * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(t * t, 1, keepdims=True), 1e-24))
+
+
+def _stripe_a2w_large_kernel(x_ref, a_ref, w_ref, b_ref, s1_ref, bias_ref,
+                             *rest, num_heads: int, stripe: Size2,
+                             n_pack: int, has_bands: bool, mm=jnp.bfloat16):
+    """anchor <- stripe aggregation, one (P stripes, N2-tile) grid step.
+
+    Softmax reduces over N1, which is FULLY resident per step (only the
+    anchor rows are tiled), so no online-softmax state is needed.  k/v for
+    the P packed stripes are projected once at t==0 into VMEM scratch."""
+    if has_bands:
+        bands_s_ref, bands_a_ref, o_ref, kn_scr, v_scr = rest
+    else:
+        o_ref, kn_scr, v_scr = rest
+    t = pl.program_id(3)
+    h = num_heads
+    C3 = w_ref.shape[1]
+    Cs = C3 // 3
+    d = Cs // h
+    sh, sw = stripe
+    N1 = sh * sw
+    w = w_ref[...]                     # (C, 3Cs) mm
+    bvec = b_ref[...].reshape(-1, 1)   # (3Cs, 1) fp32
+    scale1 = s1_ref[...].reshape(h, 1, 1)
+
+    @pl.when(t == 0)
+    def _project_kv():
+        for s in range(n_pack):
+            xg = x_ref[0][:, s * sw:(s + 1) * sw, :].reshape(N1, -1)
+            kvT = jax.lax.dot_general(
+                w[:, Cs:], xg, dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bvec[Cs:]
+            kv = kvT.reshape(2, h, d, N1)
+            kn_scr[s] = _norm_rows(kv[0]).astype(mm)
+            v_scr[s] = kv[1].astype(mm)
+
+    bias = bias_ref[...].astype(jnp.float32)   # (h, n2t, N1)
+    eye_cs = jnp.eye(Cs, dtype=mm)
+    for s in range(n_pack):
+        ag = a_ref[0, 0, s]                    # (n2t, Cs)
+        aT = jax.lax.dot_general(
+            eye_cs, ag.astype(mm),
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(h, d, -1)
+        an = _norm_rows(aT)
+        attn = jax.lax.dot_general(
+            an.astype(mm), kn_scr[s],
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                      # (h, n2t, N1)
+        attn = attn * scale1 + bias
+        if has_bands:
+            bs = bands_s_ref[0, s, 0]          # (N1,)
+            ba = bands_a_ref[0, s, 0, 0]       # (n2t,) from the 5D reshape
+            attn = attn + jnp.where(
+                ba[None, :, None] != bs[None, None, :], -100.0, 0.0)
+        attn = jax.nn.softmax(attn, axis=-1)
+        # x1 laid out (h, n2t, d): the tiled N2 axis must sit SECOND-TO-LAST
+        # (Mosaic: last block dim % 128 or full; d=Cs/h is full, n2t % 8)
+        x1 = jax.lax.dot_general(
+            attn.astype(mm), v_scr[s],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                      # (h, n2t, d)
+        o_ref[0, 0, s] = x1.astype(o_ref.dtype)
+
+
+def _stripe_w2a_large_kernel(x_ref, a_ref, x1_ref, w_ref, b_ref, s2_ref,
+                             bias_ref, *rest, num_heads: int, stripe: Size2,
+                             n_pack: int, has_bands: bool, mm=jnp.bfloat16):
+    """stripe <- anchor redistribution, one (P stripes, N1 row-band) step.
+
+    Softmax reduces over N2 (anchors), fully resident per step; the stripe
+    tokens are tiled in row bands, so each q token is projected exactly once
+    (the x BlockSpec walks the bands).  Anchors are projected once at t==0."""
+    if has_bands:
+        bands_s_ref, bands_a_ref, o_ref, an_scr = rest
+    else:
+        o_ref, an_scr = rest
+    t = pl.program_id(3)
+    h = num_heads
+    C3 = w_ref.shape[1]
+    Cs = C3 // 3
+    d = Cs // h
+    sh, sw = stripe
+    rows = x_ref.shape[1]
+    n1t = rows * sw
+    w = w_ref[...]
+    bvec = b_ref[...].reshape(-1, 1)
+    scale2 = s2_ref[...].reshape(h, 1, 1)
+    eye_cs = jnp.eye(Cs, dtype=mm)
+
+    @pl.when(t == 0)
+    def _project_anchor():
+        for s in range(n_pack):
+            ag = a_ref[0, 0, s]                # (N2, Cs)
+            aT = jax.lax.dot_general(
+                eye_cs, ag.astype(mm),
+                dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(h, d, -1)
+            an_scr[s] = _norm_rows(aT).astype(mm)
+
+    bias = bias_ref[...].astype(jnp.float32)   # (h, N2, n1t)
+    for s in range(n_pack):
+        xg = x_ref[0][:, s * sw:(s + 1) * sw, :].reshape(n1t, -1)
+        qT = jax.lax.dot_general(
+            w[:, :Cs], xg, dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bvec[:Cs]
+        qn = _norm_rows(qT.reshape(h, d, n1t))
+        attn2t = jax.lax.dot_general(
+            an_scr[s], qn.astype(mm),
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                      # (h, N2, n1t)
+        attn2t = attn2t * scale2 + bias
+        if has_bands:
+            bs = bands_s_ref[0, s, 0]          # (n1t,)
+            ba = bands_a_ref[0, s, 0]          # (N2,)
+            attn2t = attn2t + jnp.where(
+                ba[None, :, None] != bs[None, None, :], -100.0, 0.0)
+        attn2t = jax.nn.softmax(attn2t, axis=-2).astype(mm)
+        x1b = x1_ref[0, 0, s].astype(mm)       # (h, N2, d)
+        heads = [
+            jax.lax.dot_general(
+                attn2t[i], x1b[i],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                  # (n1t, d)
+            for i in range(h)
+        ]
+        yt = jnp.concatenate(heads, axis=-1).reshape(
+            rows, sw, Cs).astype(o_ref.dtype)
+        o_ref[0, :, s * sw:(s + 1) * sw, :] = yt
+
+
+def _stripe_half_large_call(args, *, stripe, anchor, P, n2t, n1t, has_bands,
+                            mm, interpret, out_dtype):
+    """Two-pallas_call forward: a2w (x1 via HBM, ~0.5 MB/stripe bf16) then
+    w2a.  Grid (B, nWy, nWx/P, tile); bias tiles stream per step and are
+    reused across the P packed stripes."""
+    if has_bands:
+        x, a_tok, w, bq, s1, s2, b1, b2t, bsr, bar = args
+    else:
+        x, a_tok, w, bq, s1, s2, b1, b2t = args
+    B, H, W, C = x.shape
+    sh, sw = stripe
+    ah, aw = anchor
+    N1, N2 = sh * sw, ah * aw
+    C3 = w.shape[1]
+    Cs = C3 // 3
+    h = s1.shape[0]
+    d = Cs // h
+    nWy, nWx = H // sh, W // sw
+    nT2, nT1 = N2 // n2t, N1 // n1t
+    rows = n1t // sw
+
+    const = lambda *blk: pl.BlockSpec(blk, lambda b, i, j, t: (0,) * len(blk),
+                                      memory_space=pltpu.VMEM)
+    kw_a = dict(num_heads=h, stripe=stripe, n_pack=P, has_bands=has_bands,
+                mm=mm)
+
+    in_specs_a = [
+        pl.BlockSpec((1, sh, P * sw, C), lambda b, i, j, t: (b, i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, P, n2t, Cs), lambda b, i, j, t: (b, i, j, t, 0),
+                     memory_space=pltpu.VMEM),
+        const(C, C3), const(1, C3), const(h, 1),
+        pl.BlockSpec((h, n2t, N1), lambda b, i, j, t: (0, t, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_bands:
+        # anchor band ids tile along N2 with n2t blocks that need not be
+        # lane-aligned (% 128): reshape so n2t IS the full last dim
+        bar5 = bar.reshape(nWy, nWx, nT2, 1, n2t)
+        in_specs_a += [
+            pl.BlockSpec((1, P, 1, N1), lambda b, i, j, t: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, 1, 1, n2t),
+                         lambda b, i, j, t: (i, j, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    # band ids arrive (nWy, nWx, 1, N) (the nS=1 grouping); a (1, P, 1, N)
+    # block with index (i, j, 0, ...) covers the step's P stripes directly
+    a_args = [x, a_tok, w, bq, s1, b1]
+    if has_bands:
+        a_args += [bsr, bar5]
+    x1 = pl.pallas_call(
+        functools.partial(_stripe_a2w_large_kernel, **kw_a),
+        grid=(B, nWy, nWx // P, nT2),
+        in_specs=in_specs_a,
+        out_specs=pl.BlockSpec((1, 1, P, h, n2t, d),
+                               lambda b, i, j, t: (b, i, j, 0, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, nWy, nWx, h, N2, d), mm),
+        scratch_shapes=[
+            pltpu.VMEM((P, h, d, N1), mm),
+            pltpu.VMEM((P, h, d, N1), mm),
+        ],
+        # blocks + scratch + fp32 attention temporaries exceed the 16 MB
+        # scoped-vmem default at GRL-base geometry (measured 18.4 MB);
+        # v5e VMEM is 128 MB — raise the scoped cap, keep double-buffering
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(*a_args)
+
+    in_specs_b = [
+        pl.BlockSpec((1, rows, P * sw, C),
+                     lambda b, i, j, t, nT1=nT1: (b, i * nT1 + t, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, P, N2, Cs), lambda b, i, j, t: (b, i, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, P, h, N2, d),
+                     lambda b, i, j, t: (b, i, j, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        const(C, C3), const(1, C3), const(h, 1),
+        pl.BlockSpec((h, N2, n1t), lambda b, i, j, t: (0, 0, t),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_bands:
+        in_specs_b += [
+            pl.BlockSpec((1, P, 1, n1t), lambda b, i, j, t: (i, j, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, 1, N2), lambda b, i, j, t: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    b_args = [x, a_tok, x1, w, bq, s2, b2t]
+    if has_bands:
+        b_args += [bsr, bar]
+    kw_b = dict(num_heads=h, stripe=stripe, n_pack=P, has_bands=has_bands,
+                mm=mm)
+    return pl.pallas_call(
+        functools.partial(_stripe_w2a_large_kernel, **kw_b),
+        grid=(B, nWy, nWx // P, nT1),
+        in_specs=in_specs_b,
+        out_specs=pl.BlockSpec((1, rows, P * sw, Cs),
+                               lambda b, i, j, t, nT1=nT1: (b, i * nT1 + t,
+                                                            j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Cs), out_dtype),
+        scratch_shapes=[pltpu.VMEM((P, h, d, N2), mm)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(*b_args)
+
+
+@functools.lru_cache(maxsize=None)
+def _stripe_half_large_fn(stripe, anchor, P, n2t, n1t, has_bands, mm_name,
+                          interpret, out_dtype_name):
+    """custom_vjp wrapper for the streamed-bias large-stripe path: two
+    Pallas kernels forward, pure-XLA recompute backward (nS=1 twin)."""
+    mm = jnp.dtype(mm_name).type if mm_name != "bfloat16" else jnp.bfloat16
+    out_dtype = jnp.dtype(out_dtype_name)
+    kw = dict(stripe=stripe, anchor=anchor, P=P, n2t=n2t, n1t=n1t,
+              has_bands=has_bands, mm=mm, out_dtype=out_dtype)
+    ref_kw = dict(stripe=stripe, anchor=anchor, nS=1, horizontal=True,
+                  has_bands=has_bands, mm=mm, out_dtype=out_dtype)
+
+    @jax.custom_vjp
+    def f(*args):
+        return _stripe_half_large_call(args, interpret=interpret, **kw)
+
+    def fwd(*args):
+        return _stripe_half_large_call(args, interpret=interpret, **kw), args
+
+    def bwd(res, g):
+        _, pullback = jax.vjp(
+            lambda *a: _stripe_half_ref_xla(a, **ref_kw), *res)
         return pullback(g)
 
     f.defvjp(fwd, bwd)

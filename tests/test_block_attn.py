@@ -73,6 +73,32 @@ def test_window_half_matches_xla(data, shifted):
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
 
 
+def test_window_half_in_kernel_shift(data):
+    """shift= moves the cyclic roll INTO the kernel (stitched half-window
+    row reads + column rotate): must equal pre-rolling x outside."""
+    rng = np.random.default_rng(4)
+    s = WH // 2
+    logit_scale = jnp.full((HEADS, 1, 1), math.log(10.0), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((HEADS, N, N)) * 0.1, jnp.float32)
+    nW = (H // WH) * (W // WW)
+    bands = jnp.asarray(rng.integers(0, 3, (nW, N)), jnp.int32)
+    x_rolled = {**data, "x": np.roll(data["x"], (-s, -s), axis=(1, 2))}
+    want = _ref_window(x_rolled, logit_scale, bias, bands)
+    got = np.asarray(fused_window_half(
+        jnp.asarray(data["x"]), jnp.asarray(data["wqkv"]),
+        jnp.asarray(data["bqkv"]), logit_scale, bias, (WH, WW),
+        bands=bands, shift=s, interpret=True))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+    # gradients flow through the custom VJP's roll-aware recompute twin
+    def loss(x):
+        return jnp.sum(jnp.abs(fused_window_half(
+            x, jnp.asarray(data["wqkv"]), jnp.asarray(data["bqkv"]),
+            logit_scale, bias, (WH, WW), bands=bands, shift=s,
+            interpret=True)))
+    g = jax.grad(loss)(jnp.asarray(data["x"]))
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0
+
+
 @pytest.mark.parametrize("shifted", [False, True])
 def test_window_half_large_window_matches_xla(shifted):
     """Large-window path (GRL-base w32): pack_w=1, bf16 resident bias,
@@ -159,6 +185,43 @@ def test_stripe_half_matches_xla(data, stripe, shifted):
     df = 4
     ah, aw = sh // df, sw // df
     N1, N2 = sh * sw, ah * aw
+    anchor = rng.standard_normal((B, H // df, W // df, CW)).astype(np.float32)
+    ls1 = jnp.full((HEADS, 1, 1), math.log(8.0), jnp.float32)
+    ls2 = jnp.full((HEADS, 1, 1), math.log(12.0), jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((HEADS, N2, N1)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((HEADS, N1, N2)) * 0.1, jnp.float32)
+    bands = bands_a = None
+    if shifted:
+        nW = (H // sh) * (W // sw)
+        bands = jnp.asarray(rng.integers(0, 3, (nW, N1)), jnp.int32)
+        bands_a = jnp.asarray(rng.integers(0, 3, (nW, N2)), jnp.int32)
+    want = _ref_stripe(data, anchor, stripe, df, ls1, ls2, b1, b2,
+                       bands, bands_a)
+    got = np.asarray(fused_stripe_half(
+        jnp.asarray(data["x"]), jnp.asarray(anchor),
+        jnp.asarray(data["wqkv"]), jnp.asarray(data["bqkv"]),
+        ls1, ls2, b1, b2, stripe, df, bands=bands, bands_a=bands_a,
+        interpret=True))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("shifted", [False, True])
+def test_stripe_half_large_matches_xla(data, shifted, monkeypatch):
+    """Streamed-bias large-stripe path (GRL-base w32/df2 tiles): force the
+    resident budget down so a (16,16)/df2 stripe routes through the two
+    tiled kernels (nT2=2 anchor tiles, nT1=2 row bands, P=2 packed
+    stripes), and pin it to the XLA reference."""
+    from grlir.ops.pallas import block_attn as ba
+
+    monkeypatch.setattr(ba, "_BIAS_VMEM_BUDGET", 100_000)
+    monkeypatch.setattr(ba, "_STRIPE_ATTN_BUDGET", 64 * 1024)
+    rng = np.random.default_rng(5)
+    stripe, df = (16, 16), 2
+    sh, sw = stripe
+    ah, aw = sh // df, sw // df
+    N1, N2 = sh * sw, ah * aw
+    assert not ba._stripe_resident_supported(stripe, df, HEADS)
+    assert ba._stripe_large_tiles(stripe, df, HEADS) == (32, 128)
     anchor = rng.standard_normal((B, H // df, W // df, CW)).astype(np.float32)
     ls1 = jnp.full((HEADS, 1, 1), math.log(8.0), jnp.float32)
     ls2 = jnp.full((HEADS, 1, 1), math.log(12.0), jnp.float32)

@@ -61,7 +61,7 @@ def padded_bytes(dtype: str, dims, minor_to_major=None) -> int:
 
 
 _SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\](?:\{([\d,]+)[:}])?")
-_OP_RE = re.compile(r"^\s+(?:ROOT )?%?([\w.-]+) = (\S+.*?)\s+(\w+)\(")
+_OP_RE = re.compile(r"^\s+(?:ROOT )?%?([\w.-]+) = (\S+.*?)\s+([\w-]+)\(")
 
 
 def audit_text(hlo_text: str, entry_only: bool = True, top: int = 20):
@@ -78,6 +78,18 @@ def audit_text(hlo_text: str, entry_only: bool = True, top: int = 20):
         _name, out_s, op = mm.groups()
         if op == "bitcast":
             continue  # layout reinterpret: no data movement
+        if op == "get-tuple-element":
+            continue  # tuple projection: metadata, no data movement
+        if op in ("copy-start", "async-start"):
+            # async pairs: the -start line carries a (dest, src, sync) tuple
+            # (would double/triple-count); the -done line's output is the
+            # one real array moved — count that side only
+            continue
+        if op == "custom-call":
+            # count only the OUTPUT (consistent with every other op — reads
+            # are the producers' writes); operand_layout_constraints would
+            # double-count each operand
+            line = line.split("operand_layout_constraints", 1)[0]
         b = sum(
             padded_bytes(
                 dt,

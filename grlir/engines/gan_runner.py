@@ -144,7 +144,8 @@ def run_gan(cfg: dict, out_dir: str):
     # reference protocol (Lightning optimizer_idx loop: fresh G forward for
     # the D step + 3 SN power iterations, base_gan.py:86-90) is the default;
     # set engine.lightning_parity=false for the BasicSR-style single-forward
-    # step (~1.20x faster/step, measured — docs/PERF_ANALYSIS.md round 5)
+    # step (measured 1.156x faster/step at the BSR recipe shape —
+    # tools/bench_gan_step.py, BENCH_NOTES.md)
     lightning_parity = bool(eng.get("lightning_parity", True))
     print(f"[grlir] GAN protocol: "
           f"{'lightning-parity' if lightning_parity else 'single-forward'}")

@@ -121,6 +121,15 @@ def main():
     ap.add_argument("--hw", type=int, default=256)
     ap.add_argument("--bs", type=int, default=1)
     ap.add_argument("--dtype", default="bfloat16")
+    # GRL-base w32/df2 eval-tile geometry overrides (bench_base_tile.py)
+    ap.add_argument("--window", type=int, default=0,
+                    help="override window_size (0 = model default)")
+    ap.add_argument("--df", type=int, default=0,
+                    help="override anchor_window_down_factor")
+    ap.add_argument("--stripe", type=int, default=0,
+                    help="override to fixed (s, s) stripes, no groups")
+    ap.add_argument("--tail", default=None,
+                    help="override upsampler ('' = identity dn tail)")
     ap.add_argument("--mode", default="entry", choices=["entry", "all"])
     ap.add_argument("--top", type=int, default=20)
     ap.add_argument("--save", default=None, help="also write the HLO text here")
@@ -144,6 +153,16 @@ def main():
         from grlir.models.grl import GRL
 
         cfg = replace(zoo.make_config(args.model), dtype=args.dtype)
+        if args.window:
+            cfg = replace(cfg, window_size=args.window)
+        if args.df:
+            cfg = replace(cfg, anchor_window_down_factor=args.df)
+        if args.stripe:
+            cfg = replace(cfg, stripe_size=(args.stripe, args.stripe),
+                          stripe_groups=(None, None))
+        if args.tail is not None:
+            cfg = replace(cfg, upscale=1 if args.tail == "" else cfg.upscale,
+                          upsampler=args.tail)
         model = GRL(cfg)
         x = jnp.asarray(
             np.random.default_rng(0).random((args.bs, args.hw, args.hw, 3)),

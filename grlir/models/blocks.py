@@ -109,24 +109,24 @@ class PermutedOutConv(nn.Module):
         return y + bp.astype(dt)
 
 
-class CMajorOutConv(nn.Module):
-    """3x3 SAME conv that EMITS channel-major (N, C, H, W).
+class ConvIO(nn.Module):
+    """3x3 SAME conv with configurable input/output dimension orders.
 
     Params are bit-identical to conv2d's nn.Conv (HWIO kernel + bias at the
-    same param paths), so checkpoints convert unchanged; only the output
-    dimension order differs.  Used for the RGB tail at full ×4 resolution:
-    an NHWC C=3-minor output pads 43x under the TPU's (sublane, 128-lane)
-    tiling (~0.5 GB padded for a 6 MB logical tensor at 1024²), while the
-    channel-major form's trailing dims are (H, W) — zero padding.  The
-    logical NHWC transpose happens after the cheap fp32 epilogue and fuses
-    into the consumer (post-v3 HLO audit, docs/PERF_ANALYSIS.md round 5)."""
+    same param paths), so checkpoints convert unchanged; only the activation
+    layout differs.  Purpose: tensors whose channel count is far below the
+    TPU's 128-lane tile (the ×4 tail's C=3 output pads 43x, CAB's C/4
+    compress stage pads 2.8x) can live channel-major ((N, C, H, W):
+    trailing dims (H, W), zero padding) for exactly the ops between two
+    layout-friendly boundaries (post-v3 HLO audits, PERF_ANALYSIS round 5)."""
 
     features: int
+    dn: Tuple[str, str, str] = ("NHWC", "HWIO", "NHWC")
     dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        in_ch = x.shape[-1]
+        in_ch = x.shape[1] if self.dn[0] == "NCHW" else x.shape[-1]
         fan_in = in_ch * 9
         k = self.param("kernel", conv_kernel_init,
                        (3, 3, in_ch, self.features))
@@ -135,9 +135,10 @@ class CMajorOutConv(nn.Module):
         y = jax.lax.conv_general_dilated(
             x.astype(dt), k.astype(dt), window_strides=(1, 1),
             padding=[(1, 1), (1, 1)],
-            dimension_numbers=("NHWC", "HWIO", "NCHW"),
+            dimension_numbers=self.dn,
         )
-        return y + b.astype(dt).reshape(1, -1, 1, 1)
+        bshape = (1, -1, 1, 1) if self.dn[2] == "NCHW" else (1, 1, 1, -1)
+        return y + b.astype(dt).reshape(bshape)
 
 
 def dense(x, features: int, use_bias: bool = True, *, name: str, dtype=None):
@@ -680,7 +681,9 @@ class AnchorStripeAttention(nn.Module):
         B, H, W, _ = x.shape
         h = self.num_heads
         if self.stripe_shift:
-            x = jnp.roll(x, (-shift_size[0], -shift_size[1]), axis=(1, 2))
+            # the x roll moves INTO the v3 kernel when supported
+            # (fused_stripe_half handles the fallback roll itself); the
+            # anchor is df^2-times smaller — roll it here either way
             anchor = jnp.roll(anchor, (-anchor_shift[0], -anchor_shift[1]),
                               axis=(1, 2))
 
@@ -706,10 +709,13 @@ class AnchorStripeAttention(nn.Module):
                     t2.bias(table, index_w2a, fac_w2a),
                     tuple(stripe_size), self.anchor_window_down_factor,
                     bands=bands if self.stripe_shift else None,
-                    bands_a=bands_a if self.stripe_shift else None)
+                    bands_a=bands_a if self.stripe_shift else None,
+                    shift=tuple(shift_size) if self.stripe_shift else (0, 0))
                 if self.stripe_shift:
                     y = jnp.roll(y, shift_size, axis=(1, 2))
                 return y
+        if self.stripe_shift:
+            x = jnp.roll(x, (-shift_size[0], -shift_size[1]), axis=(1, 2))
 
         # see WindowAttention._forward_cm: v3 VMEM-guard fallback runs XLA
         use_pallas = False if self.use_pallas == "v3" else self.use_pallas
@@ -996,10 +1002,17 @@ class CAB(nn.Module):
     @nn.compact
     def __call__(self, x):
         C = x.shape[-1]
-        y = conv2d(x, C // self.compress_ratio, (3, 3), name="cab0",
-                   dtype=self.dtype)
+        # the C/4 compress stage lives channel-major: its C=45 (GRL-base)
+        # NHWC form pads 128/45 = 2.8x under lane tiling and measured
+        # ~21 GB of the 73 GB w32/df2 eval-tile traffic (10.7 GB of it a
+        # pure layout-fix copy) — NCHW trailing dims are (H, W), unpadded.
+        # Same params, same math; certified by the full-size GRL-base
+        # golden test.
+        y = ConvIO(C // self.compress_ratio, ("NHWC", "HWIO", "NCHW"),
+                   dtype=self.dtype, name="cab0")(x)
         y = gelu(y)
-        y = conv2d(y, C, (3, 3), name="cab2", dtype=self.dtype)
+        y = ConvIO(C, ("NCHW", "HWIO", "NHWC"), dtype=self.dtype,
+                   name="cab2")(y)
         return ChannelAttention(self.reduction, dtype=self.dtype, name="ca")(y)
 
 

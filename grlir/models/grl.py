@@ -20,7 +20,7 @@ import numpy as np
 from flax import linen as nn
 
 from grlir.models.blocks import (
-    CMajorOutConv,
+    ConvIO,
     EfficientMixAttnTransformerBlock,
     PermutedOutConv,
     conv2d,
@@ -358,8 +358,8 @@ class GRL(nn.Module):
             else:
                 raise ValueError(f"unsupported scale {scale}")
             if cfg.tail_layout == "cmajor":
-                x = CMajorOutConv(out_ch, dtype=cfg.compute_dtype,
-                                  name="conv_last")(x)
+                x = ConvIO(out_ch, ("NHWC", "HWIO", "NCHW"),
+                           dtype=cfg.compute_dtype, name="conv_last")(x)
                 cmajor_out = True
             else:
                 x = conv2d(x, out_ch, name="conv_last",
@@ -384,7 +384,8 @@ class GRL(nn.Module):
             x = nn.leaky_relu(
                 conv2d(x, nf, name="conv_hr", dtype=cfg.compute_dtype), 0.2)
             if cfg.tail_layout == "cmajor":
-                x = CMajorOutConv(out_ch, name="conv_last")(x)
+                x = ConvIO(out_ch, ("NHWC", "HWIO", "NCHW"),
+                           name="conv_last")(x)
                 cmajor_out = True
             else:
                 x = conv2d(x, out_ch, name="conv_last")

@@ -194,6 +194,23 @@ def raster_bands(bands, x_size: Size2, window: Size2, pack_w: int):
     return b.reshape(nWy, nWx // pack_w, pack_w * wh * ww)
 
 
+def _lrot_cols(xr, shift: int, interp: bool):
+    """Left-rotate the second-minor (sublane) axis of (rows, W, C) by
+    `shift` inside a kernel.  pltpu.roll requires non-negative shifts (same
+    right-roll convention as jnp.roll) and cannot rotate 16-bit data —
+    bitcast packs ADJACENT second-minor pairs into one int32, so a roll by
+    (W - shift)/2 int32 rows rotates 16-bit columns by W - shift (shift
+    must be even for 16-bit inputs; guarded at the boundary)."""
+    W = xr.shape[1]
+    if interp:
+        return jnp.roll(xr, W - shift, axis=1)
+    if xr.dtype.itemsize == 4:
+        return pltpu.roll(xr, W - shift, axis=1)
+    xi = pltpu.bitcast(xr, jnp.int32)              # (rows, W/2, C)
+    xi = pltpu.roll(xi, (W - shift) // 2, axis=1)
+    return pltpu.bitcast(xi, xr.dtype)             # (rows, W, C)
+
+
 def _window_block_kernel(*refs, num_heads: int, n_groups: int,
                          window: Size2, pack_w: int, has_bands: bool,
                          q_tile: int = 0, row_steps: int = 1,
@@ -227,20 +244,7 @@ def _window_block_kernel(*refs, num_heads: int, n_groups: int,
 
     if shift:
         xr = jnp.concatenate([x1_ref[0], x2_ref[0]], axis=0)  # (wh, W, C)
-        # left-rotate columns by `shift` (pltpu.roll requires shift >= 0,
-        # same right-roll convention as jnp.roll)
-        if interp:
-            xfull = jnp.roll(xr, xr.shape[1] - shift, axis=1)
-        elif xr.dtype.itemsize == 4:
-            xfull = pltpu.roll(xr, xr.shape[1] - shift, axis=1)
-        else:
-            # Mosaic can't rotate 16-bit data; bitcast packs ADJACENT
-            # second-minor (W) pairs into one int32, so a roll by
-            # (W - shift)/2 int32 rows rotates the bf16 columns by
-            # W - shift (shift is even — guarded at the boundary)
-            xi = pltpu.bitcast(xr, jnp.int32)          # (wh, W/2, C)
-            xi = pltpu.roll(xi, (xr.shape[1] - shift) // 2, axis=1)
-            xfull = pltpu.bitcast(xi, xr.dtype)        # (wh, W, C)
+        xfull = _lrot_cols(xr, shift, interp)
     else:
         xfull = x_ref[0]
 
@@ -571,10 +575,20 @@ def _window_half_fn(window, pack_w, nG, q_tile, has_bands, mm_name,
     return f
 
 
-def _stripe_block_kernel(x_ref, a_ref, w_ref, b_ref, s1_ref, s2_ref,
-                         bias1_ref, bias2_ref, *rest, num_heads: int,
+def _stripe_block_kernel(*refs, num_heads: int,
                          has_bands: bool, stripe: Size2, anchor_size: Size2,
-                         n_stripes: int, horizontal: bool, mm=jnp.bfloat16):
+                         n_stripes: int, horizontal: bool,
+                         shift: Size2 = (0, 0), interp: bool = False,
+                         mm=jnp.bfloat16):
+    if shift[0] or shift[1]:
+        # in-kernel shift (horizontal stripes): x arrives UNROLLED as two
+        # half-stripe row bands; stitch rows, rotate columns — the roll
+        # copy never hits HBM.  The anchor (df^2-times smaller) is still
+        # rolled outside.
+        x1_ref, x2_ref, *refs = refs
+    else:
+        x_ref, *refs = refs
+    a_ref, w_ref, b_ref, s1_ref, s2_ref, bias1_ref, bias2_ref, *rest = refs
     if has_bands:
         bands_ref, bands_a_ref, o_ref = rest
     else:
@@ -588,7 +602,11 @@ def _stripe_block_kernel(x_ref, a_ref, w_ref, b_ref, s1_ref, s2_ref,
     N1 = sh * sw
     N2 = ah * aw
 
-    xb = x_ref[0]                  # (sh, nS*sw, C) or (nS*sh, sw, C)
+    if shift[0] or shift[1]:
+        xb = jnp.concatenate([x1_ref[0], x2_ref[0]], axis=0)
+        xb = _lrot_cols(xb, shift[1], interp)   # (sh, nS*sw, C)
+    else:
+        xb = x_ref[0]              # (sh, nS*sw, C) or (nS*sh, sw, C)
     ab = a_ref[0, 0, 0]            # (nS*N2, Cs): pre-partitioned outside —
     # anchor stripes are too narrow (aw = sw/df < 8) for Mosaic sub-block
     # slicing, so the host pre-partitions anchor tokens per stripe (tiny copy)
@@ -678,16 +696,22 @@ def _stripe_block_kernel(x_ref, a_ref, w_ref, b_ref, s1_ref, s2_ref,
 
 def fused_stripe_half(x, anchor, wqkv, bqkv, logit_scale1, logit_scale2,
                       bias_a2w, bias_w2a, stripe: Size2, df: int,
-                      bands=None, bands_a=None,
+                      bands=None, bands_a=None, shift: Size2 = (0, 0),
                       interpret: Optional[bool] = None,
                       ref: bool = False):
     """Whole anchored-stripe half: NHWC x + anchor -> NHWC output (pre-proj).
 
-    x: (B, H, W, C) (pre-rolled when shifted); anchor: (B, H/df, W/df, Cs);
-    wqkv: (C, 3Cs); biases fp32 (h, N2, N1) / (h, N1, N2); bands/bands_a:
-    (nW, N1)/(nW, N2) int32 or None.  Returns (B, H, W, Cs).  ref=True runs
-    the pure-XLA twin on the SAME prepared boundary operands (device-parity
-    certification, tools/bench_v3.py parity stage).
+    x: (B, H, W, C); anchor: (B, H/df, W/df, Cs) (PRE-ROLLED when shifted —
+    the anchor roll is df^2-times cheaper and stays outside); wqkv:
+    (C, 3Cs); biases fp32 (h, N2, N1) / (h, N1, N2); bands/bands_a:
+    (nW, N1)/(nW, N2) int32 or None.  shift: the cyclic stripe shift for x —
+    when given, x arrives UNROLLED and horizontal-stripe geometries stitch
+    the rolled view inside the kernel (two half-stripe row refs + a column
+    rotate); other geometries fall back to a jnp.roll here.  The output is
+    in rolled coordinates either way (the caller un-rolls y).  Returns
+    (B, H, W, Cs).  ref=True runs the pure-XLA twin on the SAME prepared
+    boundary operands (device-parity certification, tools/bench_v3.py
+    parity stage).
     """
     if interpret is None:
         interpret = _interpret_default()
@@ -712,6 +736,18 @@ def fused_stripe_half(x, anchor, wqkv, bqkv, logit_scale1, logit_scale2,
         nS = min(n_packable, max(1, 4096 // N1))
         while n_packable % nS:
             nS -= 1
+    # in-kernel x shift: horizontal resident path only (the vertical
+    # half-column blocks would violate Mosaic's 8-sublane block rule)
+    ik_shift = (0, 0)
+    if shift[0] or shift[1]:
+        ssh, ssw = int(shift[0]), int(shift[1])
+        if (not large and horizontal and ssh and ssw
+                and sh % ssh == 0 and sh // ssh == 2 and H % ssh == 0
+                and nS * sw == W
+                and (x.dtype.itemsize == 4 or ssw % 2 == 0)):
+            ik_shift = (ssh, ssw)
+        else:
+            x = jnp.roll(x, (-ssh, -ssw), axis=(1, 2))
     # anchor stripes are narrower than Mosaic's minimum sublane block (e.g.
     # aw=2 for vertical stripes): pre-partition anchor tokens per stripe so
     # the kernel takes static (N2, Cs) row slices.  Tiny copy: the anchor is
@@ -751,6 +787,8 @@ def fused_stripe_half(x, anchor, wqkv, bqkv, logit_scale1, logit_scale2,
         args += [bsr.astype(jnp.int32), bar.astype(jnp.int32)]
 
     if ref:
+        if ik_shift != (0, 0):
+            args[0] = jnp.roll(x, (-ik_shift[0], -ik_shift[1]), axis=(1, 2))
         return _stripe_half_ref_xla(
             tuple(args), stripe=tuple(stripe), anchor=(ah, aw), nS=nS,
             horizontal=bool(horizontal), has_bands=has_bands, mm=mm,
@@ -768,12 +806,13 @@ def fused_stripe_half(x, anchor, wqkv, bqkv, logit_scale1, logit_scale2,
         return f(*args)
     f = _stripe_half_fn(tuple(stripe), (ah, aw), nS, bool(horizontal),
                         has_bands, str(mm.__name__), interpret,
-                        str(jnp.dtype(x.dtype).name))
+                        str(jnp.dtype(x.dtype).name), shift=ik_shift)
     return f(*args)
 
 
 def _stripe_half_kernel_call(args, *, stripe, anchor, nS, horizontal,
-                             has_bands, mm, interpret, out_dtype):
+                             has_bands, mm, interpret, out_dtype,
+                             shift=(0, 0)):
     """Build + invoke the pallas_call for one static stripe geometry."""
     x = args[0]
     B, H, W, C = x.shape
@@ -792,9 +831,26 @@ def _stripe_half_kernel_call(args, *, stripe, anchor, nS, horizontal,
         grid = (B, nWy // nS, nWx)
         xblk = (1, nS * sh, sw, C)
         oblk = (1, nS * sh, sw, Cs)
-    in_specs = [
-        pl.BlockSpec(xblk, lambda b, i, j: (b, i, j, 0),
-                     memory_space=pltpu.VMEM),
+    if shift != (0, 0):
+        # two half-stripe row views of the UNROLLED x (horizontal only;
+        # see fused_stripe_half): stripe row i of the rolled layout =
+        # half-blocks 2i+1 and (2i+2) % nB
+        ssh = shift[0]
+        nB = H // ssh
+        x_specs = [
+            pl.BlockSpec((1, ssh, nS * sw, C),
+                         lambda b, i, j: (b, 2 * i + 1, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ssh, nS * sw, C),
+                         lambda b, i, j, nB=nB: (b, (2 * i + 2) % nB, j, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        x_specs = [
+            pl.BlockSpec(xblk, lambda b, i, j: (b, i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    in_specs = x_specs + [
         pl.BlockSpec((1, 1, 1, nS * N2, Cs), lambda b, i, j: (b, i, j, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((C, C3), lambda b, i, j: (0, 0),
@@ -820,7 +876,9 @@ def _stripe_half_kernel_call(args, *, stripe, anchor, nS, horizontal,
     kernel = functools.partial(_stripe_block_kernel, num_heads=h,
                                has_bands=has_bands, stripe=stripe,
                                anchor_size=anchor, n_stripes=nS,
-                               horizontal=horizontal, mm=mm)
+                               horizontal=horizontal, shift=shift,
+                               interp=bool(interpret), mm=mm)
+    call_args = (args[0], *args) if shift != (0, 0) else args
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -829,7 +887,7 @@ def _stripe_half_kernel_call(args, *, stripe, anchor, nS, horizontal,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, Cs), out_dtype),
         interpret=interpret,
-    )(*args)
+    )(*call_args)
 
 
 def _stripe_half_ref_xla(args, *, stripe, anchor, nS, horizontal, has_bands,
@@ -904,7 +962,7 @@ def _stripe_half_ref_xla(args, *, stripe, anchor, nS, horizontal, has_bands,
 
 @functools.lru_cache(maxsize=None)
 def _stripe_half_fn(stripe, anchor, nS, horizontal, has_bands, mm_name,
-                    interpret, out_dtype_name):
+                    interpret, out_dtype_name, shift=(0, 0)):
     """custom_vjp wrapper: Pallas kernel forward, pure-XLA recompute backward
     (see _window_half_fn)."""
     mm = jnp.dtype(mm_name).type if mm_name != "bfloat16" else jnp.bfloat16
@@ -914,14 +972,23 @@ def _stripe_half_fn(stripe, anchor, nS, horizontal, has_bands, mm_name,
 
     @jax.custom_vjp
     def f(*args):
-        return _stripe_half_kernel_call(args, interpret=interpret, **kw)
+        return _stripe_half_kernel_call(args, interpret=interpret,
+                                        shift=shift, **kw)
 
     def fwd(*args):
-        return _stripe_half_kernel_call(args, interpret=interpret, **kw), args
+        return _stripe_half_kernel_call(args, interpret=interpret,
+                                        shift=shift, **kw), args
 
     def bwd(res, g):
-        _, pullback = jax.vjp(
-            lambda *a: _stripe_half_ref_xla(a, **kw), *res)
+        def body(*a):
+            if shift != (0, 0):
+                # residual x is UNROLLED (in-kernel shift); the twin wants
+                # the rolled view — jnp.roll's VJP un-rolls the gradient
+                a = (jnp.roll(a[0], (-shift[0], -shift[1]),
+                              axis=(1, 2)),) + a[1:]
+            return _stripe_half_ref_xla(a, **kw)
+
+        _, pullback = jax.vjp(body, *res)
         return pullback(g)
 
     f.defvjp(fwd, bwd)

@@ -205,6 +205,58 @@ def test_stripe_half_matches_xla(data, stripe, shifted):
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
 
 
+def test_stripe_half_in_kernel_shift(data):
+    """shift= moves the x roll INTO the stripe kernel (horizontal resident
+    path): must equal pre-rolling x outside.  The anchor stays pre-rolled
+    by the caller (as in blocks.py)."""
+    rng = np.random.default_rng(6)
+    stripe, df = (8, 16), 4
+    sh, sw = stripe
+    ssh, ssw = sh // 2, sw // 2
+    ah, aw = sh // df, sw // df
+    N1, N2 = sh * sw, ah * aw
+    anchor = rng.standard_normal((B, H // df, W // df, CW)).astype(np.float32)
+    ls1 = jnp.full((HEADS, 1, 1), math.log(8.0), jnp.float32)
+    ls2 = jnp.full((HEADS, 1, 1), math.log(12.0), jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((HEADS, N2, N1)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((HEADS, N1, N2)) * 0.1, jnp.float32)
+    nW = (H // sh) * (W // sw)
+    bands = jnp.asarray(rng.integers(0, 3, (nW, N1)), jnp.int32)
+    bands_a = jnp.asarray(rng.integers(0, 3, (nW, N2)), jnp.int32)
+    # reference: x pre-rolled outside (anchor pre-rolled in both cases)
+    x_rolled = {**data, "x": np.roll(data["x"], (-ssh, -ssw), axis=(1, 2))}
+    want = _ref_stripe(x_rolled, anchor, stripe, df, ls1, ls2, b1, b2,
+                       bands, bands_a)
+    got = np.asarray(fused_stripe_half(
+        jnp.asarray(data["x"]), jnp.asarray(anchor),
+        jnp.asarray(data["wqkv"]), jnp.asarray(data["bqkv"]),
+        ls1, ls2, b1, b2, stripe, df, bands=bands, bands_a=bands_a,
+        shift=(ssh, ssw), interpret=True))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+    # gradients flow through the roll-aware recompute twin
+    def loss(x):
+        return jnp.sum(jnp.abs(fused_stripe_half(
+            x, jnp.asarray(anchor), jnp.asarray(data["wqkv"]),
+            jnp.asarray(data["bqkv"]), ls1, ls2, b1, b2, stripe, df,
+            bands=bands, bands_a=bands_a, shift=(ssh, ssw),
+            interpret=True)))
+    g = jax.grad(loss)(jnp.asarray(data["x"]))
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0
+
+    # vertical stripes fall back to the internal roll — same answer
+    stripe_v, shift_v = (16, 8), (8, 4)
+    b1v = jnp.asarray(rng.standard_normal((HEADS, N2, N1)) * 0.1, jnp.float32)
+    b2v = jnp.asarray(rng.standard_normal((HEADS, N1, N2)) * 0.1, jnp.float32)
+    xv_rolled = {**data, "x": np.roll(data["x"], (-8, -4), axis=(1, 2))}
+    want_v = _ref_stripe(xv_rolled, anchor, stripe_v, df, ls1, ls2, b1v, b2v)
+    got_v = np.asarray(fused_stripe_half(
+        jnp.asarray(data["x"]), jnp.asarray(anchor),
+        jnp.asarray(data["wqkv"]), jnp.asarray(data["bqkv"]),
+        ls1, ls2, b1v, b2v, stripe_v, df, shift=shift_v, interpret=True))
+    np.testing.assert_allclose(got_v, want_v, atol=3e-5, rtol=1e-4)
+
+
 @pytest.mark.parametrize("shifted", [False, True])
 def test_stripe_half_large_matches_xla(data, shifted, monkeypatch):
     """Streamed-bias large-stripe path (GRL-base w32/df2 tiles): force the

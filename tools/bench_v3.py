@@ -315,6 +315,17 @@ def stage_parity():
                          kf, rf, c, TOL)
         ok &= o
         rows.append((f"window {hw} ik-shift", mx))
+        c = _stripe_case(hw, True, True)
+        st, df = c.pop("stripe"), c.pop("df")
+        s = (st[0] // 2, st[1] // 2)
+        o, mx = _compare(
+            jax, f"stripe hw={hw} in-kernel shift",
+            lambda st=st, df=df, s=s, **c: fused_stripe_half(
+                stripe=st, df=df, shift=s, interpret=False, **c),
+            lambda st=st, df=df, s=s, **c: fused_stripe_half(
+                stripe=st, df=df, shift=s, ref=True, **c), c, TOL)
+        ok &= o
+        rows.append((f"stripe {hw} ik-shift", mx))
         for horizontal in (True, False):
             for shifted in (False, True):
                 c = _stripe_case(hw, horizontal, shifted)

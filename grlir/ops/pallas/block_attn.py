@@ -265,6 +265,11 @@ def _window_block_kernel(*refs, num_heads: int, n_groups: int,
             jnp.maximum(jnp.sum(q * q, 1, keepdims=True), 1e-24))
         kn = k * jax.lax.rsqrt(
             jnp.maximum(jnp.sum(k * k, 1, keepdims=True), 1e-24))
+        # fold the per-head logit scale into q BEFORE the QK^T dot: an
+        # (h, d, N) multiply instead of an (h, N, N) one (the VPU passes
+        # over the quadratic matrix are the latency tail — PERF_ANALYSIS
+        # round-5 softmax-chain cut)
+        qn = qn * scale[0]
         bg = bands_ref[0, r, 0, g] if has_bands else None   # (PN,) int32
         vb = v.astype(mm)
         knb = kn.astype(mm)
@@ -276,20 +281,26 @@ def _window_block_kernel(*refs, num_heads: int, n_groups: int,
                 dimension_numbers=(((1,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )                      # (h, Nq, PN)
-            attn = attn * scale[0] + bias_rows
+            attn = attn + bias_rows
             if bg_rows is not None:
                 attn = attn + jnp.where(
                     bg[None, None, :] != bg_rows[None, :, None], -100.0, 0.0)
-            attn = jax.nn.softmax(attn, axis=-1).astype(mm)
+            # deferred-normalization softmax: AV runs on exp(attn - max);
+            # the 1/rowsum multiply lands on the (Nq, d) output — d/PN as
+            # many elements as normalizing the matrix itself
+            attn = attn - jnp.max(attn, axis=-1, keepdims=True)
+            e = jnp.exp(attn)
+            rs = 1.0 / jnp.sum(e, axis=-1)       # (h, Nq)
+            eb = e.astype(mm)
             # per-head AV emits (Nq, d) DIRECTLY (tokens-major), so the NHWC
             # write needs no transpose; heads concat on the lane axis.  (An
             # MXU eye-transpose here cost more FLOPs than the attention.)
             return jnp.concatenate([
                 jax.lax.dot_general(
-                    attn[i], vb[i],
+                    eb[i], vb[i],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )                  # (Nq, d)
+                ) * rs[i][:, None]  # (Nq, d)
                 for i in range(h)
             ], axis=-1)            # (Nq, Cw)
 
@@ -642,6 +653,11 @@ def _stripe_block_kernel(*refs, num_heads: int,
         ).reshape(h, d, N2)
 
         qn, kn, an = _norm(q), _norm(k), _norm(aT)
+        # fold the logit scales into the SINGLE-use operands (kn only feeds
+        # attn1, qn only feeds attn2t; an feeds both so it stays unscaled):
+        # (h, d, N) multiplies replace two (h, N2, N1) ones
+        kn = kn * scale1
+        qn = qn * scale2
 
         # ---- anchor <- stripe aggregation (a2w)
         attn1 = jax.lax.dot_general(
@@ -649,18 +665,22 @@ def _stripe_block_kernel(*refs, num_heads: int,
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )                          # (h, N2, N1)
-        attn1 = attn1 * scale1 + bias1_ref[...]
+        attn1 = attn1 + bias1_ref[...]
         if has_bands:
             bs = bands_ref[0, 0, s]
             ba = bands_a_ref[0, 0, s]
             attn1 = attn1 + jnp.where(
                 ba[None, :, None] != bs[None, None, :], -100.0, 0.0)
-        attn1 = jax.nn.softmax(attn1, axis=-1)
+        # deferred-normalization softmax over N1 (lanes): AV runs on the
+        # unnormalized exp; 1/rowsum scales the (h, d, N2) output instead
+        attn1 = attn1 - jnp.max(attn1, axis=-1, keepdims=True)
+        e1 = jnp.exp(attn1)
+        rs1 = 1.0 / jnp.sum(e1, axis=-1)        # (h, N2)
         x1 = jax.lax.dot_general(
-            v.astype(mm), attn1.astype(mm),
+            v.astype(mm), e1.astype(mm),
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )                          # (h, d, N2)
+        ) * rs1[:, None, :]        # (h, d, N2)
 
         # ---- stripe <- anchor redistribution (w2a), computed TRANSPOSED:
         # attn2T (h, N2, N1) keeps lanes at N1 (unpadded; N2=32 as minor
@@ -670,20 +690,25 @@ def _stripe_block_kernel(*refs, num_heads: int,
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )                          # (h, N2, N1)
-        attn2t = attn2t * scale2 + bias2_ref[...]
+        attn2t = attn2t + bias2_ref[...]
         if has_bands:
             attn2t = attn2t + jnp.where(
                 ba[None, :, None] != bs[None, None, :], -100.0, 0.0)
-        attn2t = jax.nn.softmax(attn2t, axis=-2).astype(mm)
+        # deferred normalization over N2 (sublanes): 1/colsum scales the
+        # (N1, d) per-head outputs
+        attn2t = attn2t - jnp.max(attn2t, axis=-2, keepdims=True)
+        e2 = jnp.exp(attn2t)
+        rs2 = 1.0 / jnp.sum(e2, axis=-2)        # (h, N1)
+        e2b = e2.astype(mm)
         # per-head output emits (N1, d) directly (tokens-major NHWC write);
         # heads concat on the lane axis — no MXU eye-transpose
         x1b = x1.astype(mm)
         heads = [
             jax.lax.dot_general(
-                attn2t[i], x1b[i],
+                e2b[i], x1b[i],
                 dimension_numbers=(((0,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )                      # (N1, d)
+            ) * rs2[i][:, None]    # (N1, d)
             for i in range(h)
         ]
         yt = jnp.concatenate(heads, axis=-1).reshape(
